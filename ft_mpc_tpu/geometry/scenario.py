@@ -1,0 +1,164 @@
+"""Fault scenarios as batched device tensors.
+
+The reference mutates Python objects per fault (`SystemModel.set_fault`
+rebuilds the CasADi graph, `ft_mpc/models/sys_model.py:228-243`; InputBounds
+re-runs a 2^16 enumeration, `input_bounds.py:43-76`).  Here a fault pattern
+compiles *once*, at bank-build time, into a `Scenario`: a pytree of arrays
+(fault wrench, padded attainable-wrench polytope, compensation input,
+terminal ingredients).  A `ScenarioBank` stacks scenarios along a leading
+axis; every controller/simulator function vmaps over it, and `shard_map`
+shards that axis across a TPU mesh.
+
+Mid-trajectory fault switching -- stubbed in the reference
+(`examples/sim.py:25-27`) -- is just swapping which bank row a rollout reads
+at a given step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ft_mpc_tpu.controllers.spiral_params import SpiralParameters
+from ft_mpc_tpu.geometry.polytope import Polytope
+from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
+from ft_mpc_tpu.ops.dynamics import BodyParams, FaultState, N_THRUSTERS
+from ft_mpc_tpu.utils.faults import BrokenThruster
+
+# Default padding sizes for the scenario tensors.  The reference plant's
+# wrench zonotope has 26 facets healthy and under typical fault patterns;
+# 64 leaves headroom for exotic multi-fault patterns.
+MAX_HULL_FACETS = 64
+MAX_TERM_FACETS = 64
+
+
+class TerminalQuadratic(NamedTuple):
+    """Quadratic terminal cost V_f(e) = e^T P e + p^T e + c on the 9-d error.
+
+    Round-1 ingredient; the full polynomial terminal cost of the reference's
+    offline pipeline (`terminal_ingredients.py`) is handled by
+    `ft_mpc_tpu.terminal` and lowers to additional polynomial terms.
+    """
+
+    P: jnp.ndarray  # (9, 9)
+    p: jnp.ndarray  # (9,)
+    c: jnp.ndarray  # scalar
+
+
+class Scenario(NamedTuple):
+    """All per-fault-pattern data consumed by the controller, as arrays."""
+
+    fault: FaultState
+    faulty_force: jnp.ndarray  # (16,) stuck-on thrust per thruster
+    faulty_force_gen: jnp.ndarray  # (6,) generalized fault wrench (body frame)
+    u_ub: jnp.ndarray  # (16,) per-thruster command upper bound
+    # Attainable total-wrench polytope {A w <= b}, padded + masked.
+    hull_A: jnp.ndarray  # (F, 6)
+    hull_b: jnp.ndarray  # (F,)
+    hull_mask: jnp.ndarray  # (F,)
+    # Micro-orbit parameters.
+    omega_des: jnp.ndarray  # (3,)
+    r: jnp.ndarray  # (3,) orbit-center offset (body frame)
+    u_comp: jnp.ndarray  # (6,) compensation input
+    beta: jnp.ndarray  # (4,) force-aligned frame quaternion (xyzw)
+    M: jnp.ndarray  # (6, 6) wrench -> center acceleration
+    # Terminal ingredients.
+    term: TerminalQuadratic
+    term_A: jnp.ndarray  # (T, 9)
+    term_b: jnp.ndarray  # (T,)
+    term_mask: jnp.ndarray  # (T,)
+
+
+class ScenarioBank(NamedTuple):
+    """A batch of scenarios: same pytree structure with a leading axis."""
+
+    scenarios: Scenario
+    size: int
+
+    def __getitem__(self, i: int) -> Scenario:
+        return jax.tree.map(lambda x: x[i], self.scenarios)
+
+
+def build_scenario(
+    params: BodyParams,
+    faults: Sequence[BrokenThruster] = (),
+    terminal: TerminalQuadratic | None = None,
+    terminal_set: Polytope | None = None,
+    max_hull_facets: int = MAX_HULL_FACETS,
+    max_term_facets: int = MAX_TERM_FACETS,
+    omega_des=(0.0, 0.0, 0.6),
+    r_dir=(0.0, 1.0, 0.0),
+    f_virt_mag: float = 3.5,
+) -> Scenario:
+    """Compile one fault pattern into device tensors (host-side, runs once)."""
+    D = np.asarray(params.D)
+    max_thrust = float(params.max_thrust)
+    mass = float(params.mass)
+    inertia = np.asarray(params.inertia)
+
+    fault = FaultState.from_faults(faults)
+    broken = np.asarray(fault.broken)
+    intensity = np.asarray(fault.intensity)
+
+    faulty_force = broken * intensity * max_thrust
+    faulty_force_gen = D @ faulty_force
+    u_ub = np.where(broken > 0.5, 0.0, max_thrust)
+
+    hull = attainable_wrench_polytope(D, max_thrust, broken, intensity)
+    hull_A, hull_b, hull_mask = hull.as_padded(max_hull_facets)
+
+    sp = SpiralParameters.compute(
+        mass, inertia, faulty_force_gen, omega_des, r_dir, f_virt_mag
+    )
+
+    if terminal is None:
+        # Placeholder P = 0; callers normally pass a DARE/pipeline-based cost.
+        terminal = TerminalQuadratic(
+            P=jnp.zeros((9, 9)), p=jnp.zeros(9), c=jnp.asarray(0.0)
+        )
+    if terminal_set is None:
+        term_A = np.zeros((max_term_facets, 9))
+        term_b = np.ones(max_term_facets)
+        term_mask = np.zeros(max_term_facets)
+    else:
+        term_A, term_b, term_mask = terminal_set.as_padded(max_term_facets)
+
+    as_f = lambda x: jnp.asarray(x, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    return Scenario(
+        fault=fault,
+        faulty_force=as_f(faulty_force),
+        faulty_force_gen=as_f(faulty_force_gen),
+        u_ub=as_f(u_ub),
+        hull_A=as_f(hull_A),
+        hull_b=as_f(hull_b),
+        hull_mask=as_f(hull_mask),
+        omega_des=as_f(sp.omega_des),
+        r=as_f(sp.r),
+        u_comp=as_f(sp.compensation_force),
+        beta=as_f(sp.beta),
+        M=as_f(sp.M),
+        term=terminal,
+        term_A=as_f(term_A),
+        term_b=as_f(term_b),
+        term_mask=as_f(term_mask),
+    )
+
+
+def stack_scenarios(scenarios: Sequence[Scenario]) -> ScenarioBank:
+    """Stack host-built scenarios into a batched bank (leading scenario axis)."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenarios)
+    return ScenarioBank(scenarios=stacked, size=len(scenarios))
+
+
+def build_scenario_bank(
+    params: BodyParams,
+    fault_patterns: Sequence[Sequence[BrokenThruster]],
+    **kwargs,
+) -> ScenarioBank:
+    """Build a bank from a list of fault patterns (host-side)."""
+    return stack_scenarios(
+        [build_scenario(params, faults, **kwargs) for faults in fault_patterns]
+    )
