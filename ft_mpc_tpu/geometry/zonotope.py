@@ -66,22 +66,21 @@ def zonotope_halfspaces(
             f"zonotope is degenerate: only {k} distinct directions in R^{d}"
         )
 
-    normals: list[np.ndarray] = []
-    for subset in combinations(range(k), d - 1):
-        S = dirs[:, list(subset)]  # (d, d-1)
-        if np.linalg.matrix_rank(S, tol=1e-8) != d - 1:
-            continue
-        # Nullspace of S^T is the candidate facet normal.
-        _, _, Vt = np.linalg.svd(S.T)
-        n = Vt[-1]
-        idx = np.argmax(np.abs(n) > tol)
-        n = n if n[idx] > 0 else -n
-        normals.append(n)
-
-    if not normals:
+    # All (d-1)-subsets of distinct directions, batched SVD for nullspaces.
+    subsets = np.array(list(combinations(range(k), d - 1)))  # (K, d-1)
+    S = dirs.T[subsets]  # (K, d-1, d) rows are the chosen directions
+    _, sv, Vt = np.linalg.svd(S)
+    full_rank = sv[:, -1] > 1e-8 * np.maximum(1.0, sv[:, 0])
+    normals = Vt[full_rank, -1, :]  # (K', d) nullspace vectors
+    if normals.shape[0] == 0:
         raise ValueError("no facet normals found")
 
-    normals = np.unique(np.round(np.array(normals), 10), axis=0)
+    # Canonical sign: first significantly-nonzero component positive.
+    first_idx = np.argmax(np.abs(normals) > tol, axis=1)
+    signs = np.sign(normals[np.arange(len(normals)), first_idx])
+    normals = normals * signs[:, None]
+
+    normals = np.unique(np.round(normals, 10), axis=0)
     # Both orientations are (potential) facets.
     N = np.vstack([normals, -normals])  # (2K, d)
     # Support function: h(n) = n.c + sum_i max(0, n.g_i)

@@ -175,7 +175,7 @@ def center_dx_dt(
     dvel = rot_matrix(q).T @ (
         force / params.mass + jnp.cross(domega, r) + jnp.cross(omega, jnp.cross(omega, r))
     )
-    dq = quat_kinematics(omega=omega, q=q)
+    dq = quat_kinematics(q, omega)
     return jnp.concatenate([dpos, dvel, domega, dq])
 
 
