@@ -1,0 +1,211 @@
+"""User-facing API: stateful wrappers over the pure jitted core.
+
+A user of the reference drives `SpiralingController` + `SimulationEnvironment`
+objects (`ft_mpc/controllers/spiraling_mpc.py:23`, `ft_mpc/simulation/sim_env.py:5`).
+These classes reproduce that workflow -- construct from a reactive.yaml-style
+config, load a trajectory, step or run -- while everything per-step runs as
+one jitted device program underneath.
+
+Unlike the reference, runtime fault injection actually works:
+`SimulationEnvironment.set_fault` rebuilds the scenario tensors (host-side,
+milliseconds) and the next step uses them -- the reference warns and skips
+mid-run faults (`examples/sim.py:25-27`, `sim_env.py:67-75`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ft_mpc_tpu.controllers.spiral_params import SpiralParameters
+from ft_mpc_tpu.controllers.spiraling import (
+    MPCConfig,
+    MPCWeights,
+    get_control,
+    init_warmstart,
+    shift_warmstart,
+)
+from ft_mpc_tpu.geometry.scenario import Scenario, TerminalQuadratic, build_scenario
+from ft_mpc_tpu.ops.dynamics import BodyParams, robot_step, robot_to_center
+from ft_mpc_tpu.ops.quaternion import quat_normalize
+from ft_mpc_tpu.solvers.admm import ADMMConfig
+from ft_mpc_tpu.terminal.quadratic import quadratic_terminal_ingredients
+from ft_mpc_tpu.utils.faults import BrokenThruster
+from ft_mpc_tpu.utils.trajectory import generate_trajectory, prepare_center_trajectory
+
+DEFAULT_TUNING = {
+    "horizon": 15,
+    "Q": [1, 1, 1, 1, 1, 1, 2, 2, 2],
+    "R": [0.1, 0.1, 0.1, 0.01, 0.01, 0.01],
+    "k_omega": [1.0, 1.0, 1.0],
+    "time_scaling": 5,
+    "sqp_iters": 3,
+}
+
+
+def _build_scenario_with_terminal(
+    params: BodyParams, faults: Sequence[BrokenThruster], tuning: dict
+) -> Scenario:
+    D = np.asarray(params.D)
+    ff = np.zeros(16)
+    for f in faults:
+        ff[f.index] = f.intensity * float(params.max_thrust)
+    sp = SpiralParameters.compute(
+        float(params.mass), np.asarray(params.inertia), D @ ff
+    )
+    P9, p9, c, tset = quadratic_terminal_ingredients(
+        np.asarray(tuning["Q"], dtype=np.float64),
+        np.asarray(tuning["R"], dtype=np.float64),
+        sp.M,
+        tuning.get("k_omega", [1.0, 1.0, 1.0]),
+        float(params.dt),
+        time_scaling=float(tuning.get("time_scaling", 5)),
+    )
+    term = TerminalQuadratic(
+        P=jnp.asarray(P9), p=jnp.asarray(p9), c=jnp.asarray(c)
+    )
+    return build_scenario(params, faults, terminal=term, terminal_set=tset)
+
+
+class SpiralingMPC:
+    """Drop-in analogue of the reference `SpiralingController`."""
+
+    def __init__(
+        self,
+        params: BodyParams,
+        faults: Sequence[BrokenThruster] = (),
+        tuning: dict | None = None,
+    ):
+        self.params = params
+        self.tuning = {**DEFAULT_TUNING, **(tuning or {})}
+        self.faults = list(faults)
+        self.scenario = _build_scenario_with_terminal(params, self.faults, self.tuning)
+        self.weights = MPCWeights.from_diagonals(
+            self.tuning["Q"], self.tuning["R"]
+        )
+        self.cfg = MPCConfig(
+            horizon=int(self.tuning["horizon"]),
+            sqp_iters=int(self.tuning.get("sqp_iters", 3)),
+            admm=ADMMConfig(iters=50, phases=4, rho=1.0),
+        )
+        self.trajectory = None  # (T, 9) center reference
+        self.nominal_input = None  # (T, 6)
+        self._warm = None
+        self._get_control = jax.jit(get_control, static_argnames=("cfg",))
+
+    def set_fault(self, fault: BrokenThruster) -> None:
+        """Add a fault and recompile the scenario data (host, milliseconds)."""
+        self.faults.append(fault)
+        self.scenario = _build_scenario_with_terminal(
+            self.params, self.faults, self.tuning
+        )
+        if self.trajectory is not None:
+            # Re-prepare: omega_des may change with the new orbit parameters.
+            self.assign_trajectory(self._raw_traj)
+
+    def load_trajectory(self, cmd: str, duration: float, fpath: str | None = None):
+        traj = generate_trajectory(cmd, float(self.params.dt), duration, fpath)
+        self.assign_trajectory(traj)
+
+    def assign_trajectory(self, traj13: np.ndarray):
+        self._raw_traj = traj13
+        omega_des = np.asarray(self.scenario.omega_des)
+        x_ref, u_ref = prepare_center_trajectory(
+            traj13, omega_des, float(self.params.mass), float(self.params.dt),
+            self.cfg.horizon + 1,
+        )
+        self.trajectory = jnp.asarray(x_ref)
+        self.nominal_input = jnp.asarray(u_ref)
+
+    def get_control(self, x0, t: float) -> np.ndarray:
+        """Return 16-d thruster commands for robot state x0 at time t."""
+        if self.trajectory is None:
+            raise RuntimeError("call load_trajectory first")
+        i = int(round(t / float(self.params.dt)))
+        Nt = self.cfg.horizon
+        x_ref = self.trajectory[i : i + Nt + 1]
+        u_ref = self.nominal_input[i : i + Nt + 1]
+        x0 = jnp.asarray(x0, dtype=self.trajectory.dtype)
+
+        c0 = robot_to_center(self.scenario.r, x0)
+        if self._warm is None:
+            self._warm = init_warmstart(self.params, self.scenario, self.cfg, c0)
+        else:
+            self._warm = shift_warmstart(self._warm, c0)
+
+        out = self._get_control(
+            self.params, self.scenario, self.weights, self.cfg,
+            x0, x_ref, u_ref, self._warm,
+        )
+        self._warm = out.warm
+        self.last_output = out
+        return np.asarray(out.u_phys)
+
+
+class SimulationEnvironment:
+    """Drop-in analogue of the reference `SimulationEnvironment`
+    (`ft_mpc/simulation/sim_env.py:5-112`), stepping the full 16-thruster
+    robot model with the controller in the loop.
+
+    For batched/bench use prefer `ft_mpc_tpu.sim.rollout` (single fused scan);
+    this class trades throughput for the reference's imperative workflow,
+    including working runtime fault injection.
+    """
+
+    def __init__(self, params: BodyParams, controller: SpiralingMPC, seed: int = 0):
+        self.params = params
+        self.controller = controller
+        self.dt = float(params.dt)
+        self.state = np.zeros(13)
+        self.state[9] = 1.0  # identity quaternion (w last)
+        self.cur_time = 0.0
+        self.noise = {
+            "position": 1e-3,
+            "velocity": 1e-3,
+            "orientation": 1e-3,
+            "angular_velocity": 1e-3,
+        }
+        self._rng = np.random.default_rng(seed)
+        self.history = []
+
+    def set_initial_state(
+        self, position=None, velocity=None, orientation=None, angular_velocity=None
+    ):
+        if position is not None:
+            self.state[0:3] = position
+        if velocity is not None:
+            self.state[3:6] = velocity
+        if orientation is not None:
+            self.state[6:10] = orientation
+        if angular_velocity is not None:
+            self.state[10:13] = angular_velocity
+
+    def set_fault(self, fault: BrokenThruster):
+        """Inject a fault mid-run: model and controller both reshape."""
+        self.controller.set_fault(fault)
+
+    def step(self):
+        u = self.controller.get_control(self.state, self.cur_time)
+        x_new = np.asarray(
+            robot_step(
+                self.params,
+                self.controller.scenario.fault,
+                jnp.asarray(self.state),
+                jnp.asarray(u),
+            )
+        )
+        x_new[0:3] += self._rng.uniform(0, self.noise["position"], 3)
+        x_new[3:6] += self._rng.uniform(0, self.noise["velocity"], 3)
+        x_new[6:10] += self._rng.uniform(0, self.noise["orientation"], 4)
+        x_new[10:13] += self._rng.uniform(0, self.noise["angular_velocity"], 3)
+        x_new[6:10] /= np.linalg.norm(x_new[6:10])
+        self.history.append((self.cur_time, self.state.copy(), u))
+        self.state = x_new
+        self.cur_time += self.dt
+
+    def run_simulation(self, duration: float):
+        for _ in range(int(duration / self.dt)):
+            self.step()

@@ -1,0 +1,356 @@
+"""Spiraling (micro-orbiting) MPC as a real-time-iteration SQP, fully on-device.
+
+This is the TPU-native replacement for `SpiralingController`
+(`ft_mpc/controllers/spiraling_mpc.py`).  The reference builds a 298-variable
+CasADi NLP once and calls IPOPT (C++/Fortran, host CPU) every control step
+(`spiraling_mpc.py:230,346`).  Here each control step is a fixed number of
+SQP iterations, each of which:
+
+  1. linearizes the orbit-center dynamics along the warm-started trajectory
+     with `jax.jacfwd` (the state-dependent rotation of the nominal input,
+     `spiraling_mpc.py:156-166`, is differentiated through automatically);
+  2. condenses the horizon (eliminates states) into a dense 90-variable QP
+     via a `lax.scan` over prediction matrices;
+  3. solves the QP with the batched adaptive-rho ADMM solver.
+
+Everything is shape-static and vmappable: one jitted function serves a
+single scenario or a bank of thousands (fault patterns are `Scenario` data).
+
+Problem-structure parity with the reference NLP (`build_solver`,
+`spiraling_mpc.py:87-230`):
+  * decision: inputs u_0..u_{Nt-1} (6 each, deviations from rotated nominal
+    + compensation) and states x_0..x_{Nt} (13 each, eliminated here);
+  * dynamics: RK4 shooting equalities (`:170-172`) -> condensing defects;
+  * input constraints: hull rows A (u_t + u_r + u_comp + u_uncontrolled) <= b
+    (`:133-146,174-177`), frozen at the linearization point (RTI);
+  * running cost e^T Q e + u^T R u on the first 9 states (`:187-188`);
+  * terminal cost + polytopic terminal set on the 9-d error (`:190-202`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ft_mpc_tpu.geometry.scenario import Scenario
+from ft_mpc_tpu.ops.dynamics import BodyParams, center_step, robot_to_center
+from ft_mpc_tpu.ops.quaternion import rot_full, rot_full_inv
+from ft_mpc_tpu.solvers.admm import QP, ADMMConfig, admm_solve
+from ft_mpc_tpu.solvers.allocation import AllocationResult, allocate_thrusters
+
+_BIG = 1e8
+N_X = 13
+N_U = 6
+N_OPT = 9  # states with running cost: pos, vel, omega
+
+
+class MPCConfig(NamedTuple):
+    """Static controller configuration (hashable; part of the jit key)."""
+
+    horizon: int = 15
+    sqp_iters: int = 3
+    admm: ADMMConfig = ADMMConfig(iters=50, phases=4, rho=1.0)
+    # Proximal (Levenberg-style) damping added to the QP Hessian diagonal.
+    # delta_U = 0 stays optimal at a KKT point, so fixed points are unchanged.
+    prox: float = 0.0
+    # Fixed-candidate merit line search (the globalization role IPOPT's
+    # filter line search plays in the reference, done with static shapes:
+    # all candidates are evaluated in one vmap and the best is selected).
+    ls_alphas: tuple = (1.0, 0.5, 0.25, 0.0)
+    ls_penalty: float = 1e3  # l1 penalty weight on defects + violations
+
+
+class MPCWeights(NamedTuple):
+    """Cost data (traced; lives on device)."""
+
+    Q: jnp.ndarray  # (9, 9)
+    R: jnp.ndarray  # (6, 6)
+
+    @classmethod
+    def from_diagonals(cls, q, r) -> "MPCWeights":
+        return cls(Q=jnp.diag(jnp.asarray(q, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)),
+                   R=jnp.diag(jnp.asarray(r, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)))
+
+
+class WarmStart(NamedTuple):
+    X: jnp.ndarray  # (Nt+1, 13) center-state trajectory
+    U: jnp.ndarray  # (Nt, 6) input deviations
+
+
+class SQPInfo(NamedTuple):
+    cost: jnp.ndarray  # realized quadratic objective (diagnostic)
+    r_prim: jnp.ndarray  # QP primal residual of last SQP iteration
+    r_dual: jnp.ndarray
+    defect: jnp.ndarray  # max shooting defect after last iteration
+    du_norm: jnp.ndarray  # |delta_U|_inf of last SQP step (SQP convergence)
+
+
+def init_warmstart(
+    params: BodyParams, scenario: Scenario, cfg: MPCConfig, c0: jnp.ndarray
+) -> WarmStart:
+    """Roll the center dynamics forward with zero deviation input."""
+
+    def step(x, u_ref_zero):
+        x1 = center_step(params, scenario.faulty_force_gen, scenario.r, x,
+                         scenario.u_comp)
+        return x1, x1
+
+    _, X_tail = jax.lax.scan(step, c0, None, length=cfg.horizon)
+    X = jnp.concatenate([c0[None], X_tail], axis=0)
+    U = jnp.zeros((cfg.horizon, N_U), dtype=c0.dtype)
+    return WarmStart(X=X, U=U)
+
+
+def shift_warmstart(warm: WarmStart, c0: jnp.ndarray) -> WarmStart:
+    """One-stage shift, pinning the first state to the measurement.
+
+    Matches `solve_mpc`'s warm start (`spiraling_mpc.py:324-334`) except the
+    appended tail repeats the last stage instead of zeros (a zero quaternion
+    is a poor linearization point; the reference's IPOPT tolerates it, an
+    RTI scheme should not).
+    """
+    X = jnp.concatenate([c0[None], warm.X[2:], warm.X[-1:]], axis=0)
+    U = jnp.concatenate([warm.U[1:], warm.U[-1:]], axis=0)
+    return WarmStart(X=X, U=U)
+
+
+def _stage_dynamics(
+    params: BodyParams, scenario: Scenario, x: jnp.ndarray, u: jnp.ndarray,
+    u_ref_t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Discrete center dynamics of stage t under deviation input u.
+
+    Total commanded wrench = u + rot(x) u_ref + u_comp; the constant fault
+    wrench is added inside `center_step` (data, not symbols).
+    """
+    u_r = rot_full_inv(x[9:13]) @ u_ref_t
+    return center_step(
+        params, scenario.faulty_force_gen, scenario.r, x, u + u_r + scenario.u_comp
+    )
+
+
+def _condense(A_stack, B_stack, defects, horizon):
+    """Prediction matrices: delta_x_t = S_t delta_U + phi_t for t = 1..Nt.
+
+    One lax.scan; S is (13, Nt*6).
+    """
+    n_dec = horizon * N_U
+    S0 = jnp.zeros((N_X, n_dec), dtype=A_stack.dtype)
+    phi0 = jnp.zeros(N_X, dtype=A_stack.dtype)
+
+    def step(carry, inp):
+        S, phi = carry
+        A_t, B_t, r_t, t = inp
+        S_next = A_t @ S
+        S_next = jax.lax.dynamic_update_slice(
+            S_next,
+            jax.lax.dynamic_slice(S_next, (0, t * N_U), (N_X, N_U)) + B_t,
+            (0, t * N_U),
+        )
+        phi_next = A_t @ phi + r_t
+        return (S_next, phi_next), (S_next, phi_next)
+
+    ts = jnp.arange(horizon)
+    (_, _), (S_all, phi_all) = jax.lax.scan(
+        step, (S0, phi0), (A_stack, B_stack, defects, ts)
+    )
+    return S_all, phi_all  # (Nt, 13, Nt*6), (Nt, 13)
+
+
+def sqp_solve(
+    params: BodyParams,
+    scenario: Scenario,
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    c0: jnp.ndarray,
+    x_ref: jnp.ndarray,  # (Nt+1, 9)
+    u_ref: jnp.ndarray,  # (Nt+1, 6)
+    warm: WarmStart,
+) -> tuple[WarmStart, SQPInfo]:
+    """Fixed-iteration SQP on the spiraling MPC problem (one scenario)."""
+    Nt = cfg.horizon
+    dtype = c0.dtype
+    n_dec = Nt * N_U
+
+    # Masked constraint geometry (padded rows inert).
+    hull_A = scenario.hull_A * scenario.hull_mask[:, None]
+    hull_b = jnp.where(scenario.hull_mask > 0.5, scenario.hull_b, _BIG)
+    term_A = scenario.term_A * scenario.term_mask[:, None]
+    term_b = jnp.where(scenario.term_mask > 0.5, scenario.term_b, _BIG)
+    F = hull_A.shape[0]
+
+    R_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), weights.R)
+    G_hull_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), hull_A)  # (Nt*F, Nt*6)
+
+    u_unc = scenario.faulty_force_gen
+
+    stage_dyn = partial(_stage_dynamics, params, scenario)
+
+    def sqp_iteration(carry, _):
+        X, U = carry
+
+        # --- 1. linearize dynamics along (X, U) -------------------------
+        f_vals = jax.vmap(stage_dyn)(X[:-1], U, u_ref[:Nt])
+        A_stack, B_stack = jax.vmap(jax.jacfwd(stage_dyn, argnums=(0, 1)))(
+            X[:-1], U, u_ref[:Nt]
+        )
+        defects = f_vals - X[1:]
+
+        # --- 2. condense -------------------------------------------------
+        S_all, phi_all = _condense(A_stack, B_stack, defects, Nt)
+        S9 = S_all[:, :N_OPT, :]  # (Nt, 9, n_dec)
+        e0 = X[1:, :N_OPT] + phi_all[:, :N_OPT] - x_ref[1:]  # (Nt, 9)
+
+        # --- 3. quadratic objective in delta_U ---------------------------
+        # Running cost stages t = 1..Nt-1; terminal at Nt.
+        S9_run, e0_run = S9[:-1], e0[:-1]
+        S9_N, e0_N = S9[-1], e0[-1]
+        H = 2.0 * (
+            jnp.einsum("tin,ij,tjm->nm", S9_run, weights.Q, S9_run)
+            + S9_N.T @ scenario.term.P @ S9_N
+            + R_blk
+            + cfg.prox * jnp.eye(n_dec, dtype=dtype)
+        )
+        g = 2.0 * (
+            jnp.einsum("tin,ij,tj->n", S9_run, weights.Q, e0_run)
+            + S9_N.T @ (scenario.term.P @ e0_N)
+            + R_blk @ U.reshape(-1)
+        ) + S9_N.T @ scenario.term.p
+
+        # --- 4. inequality rows ------------------------------------------
+        # Input-hull rows per stage (RTI: nominal-input rotation frozen).
+        u_r_bar = jnp.einsum(
+            "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
+        )
+        stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
+        h_hull = (hull_b[None, :] - stage_offset @ hull_A.T).reshape(-1)
+        # Terminal-set rows couple to delta_U through S9_N.
+        G_term = term_A @ S9_N
+        h_term = term_b - term_A @ e0_N
+
+        G = jnp.concatenate([G_hull_blk, G_term], axis=0)
+        h = jnp.concatenate([h_hull, h_term], axis=0)
+
+        # --- 5. QP solve --------------------------------------------------
+        qp = QP(P=H, q=g, A=G, l=jnp.full_like(h, -_BIG), u=h)
+        sol = admm_solve(qp, cfg.admm)
+        dU = sol.x.reshape(Nt, N_U)
+        dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
+
+        # --- 6. merit line search over fixed step candidates --------------
+        def merit(alpha):
+            Uc = U + alpha * dU
+            Xc = jnp.concatenate([X[:1], X[1:] + alpha * dX], axis=0)
+            f_c = jax.vmap(stage_dyn)(Xc[:-1], Uc, u_ref[:Nt])
+            defect_c = f_c - Xc[1:]
+            e_run_c = Xc[1:-1, :N_OPT] - x_ref[1:-1]
+            e_N_c = Xc[-1, :N_OPT] - x_ref[-1]
+            J = (
+                jnp.einsum("ti,ij,tj->", e_run_c, weights.Q, e_run_c)
+                + jnp.einsum("ti,ij,tj->", Uc, weights.R, Uc)
+                + e_N_c @ scenario.term.P @ e_N_c
+                + scenario.term.p @ e_N_c
+            )
+            u_r_c = jnp.einsum(
+                "tij,tj->ti", rot_full_inv(Xc[:-1, 9:13]), u_ref[:Nt]
+            )
+            w_tot = Uc + u_r_c + scenario.u_comp + u_unc
+            viol = (
+                jnp.sum(jnp.abs(defect_c))
+                + jnp.sum(jnp.maximum(w_tot @ hull_A.T - hull_b[None, :], 0.0))
+                + jnp.sum(jnp.maximum(term_A @ e_N_c - term_b, 0.0))
+            )
+            return J + cfg.ls_penalty * viol
+
+        alphas = jnp.asarray(cfg.ls_alphas, dtype=dtype)
+        merits = jax.vmap(merit)(alphas)
+        alpha = alphas[jnp.argmin(merits)]
+
+        U_new = U + alpha * dU
+        X_new = jnp.concatenate([X[:1], X[1:] + alpha * dX], axis=0)
+
+        info = (
+            sol.r_prim,
+            sol.r_dual,
+            jnp.max(jnp.abs(defects)),
+            alpha * jnp.max(jnp.abs(sol.x)),
+        )
+        return (X_new, U_new), info
+
+    warm = warm._replace(X=warm.X.at[0].set(c0))
+    (X, U), infos = jax.lax.scan(
+        sqp_iteration, (warm.X, warm.U), None, length=cfg.sqp_iters
+    )
+
+    # Realized objective (diagnostic, exact nonlinear-trajectory quadratic cost).
+    e_run = X[:-1, :N_OPT] - x_ref[:-1]
+    cost = (
+        jnp.einsum("ti,ij,tj->", e_run, weights.Q, e_run)
+        + jnp.einsum("ti,ij,tj->", U, weights.R, U)
+    )
+    e_N = X[-1, :N_OPT] - x_ref[-1]
+    cost = cost + e_N @ scenario.term.P @ e_N + scenario.term.p @ e_N + scenario.term.c
+
+    info = SQPInfo(
+        cost=cost,
+        r_prim=infos[0][-1],
+        r_dual=infos[1][-1],
+        defect=infos[2][-1],
+        du_norm=infos[3][-1],
+    )
+    return WarmStart(X=X, U=U), info
+
+
+class ControlOutput(NamedTuple):
+    u_phys: jnp.ndarray  # (16,) thruster commands
+    wrench: jnp.ndarray  # (6,) commanded wrench (robot frame)
+    c0: jnp.ndarray  # (13,) center state used
+    warm: WarmStart
+    info: SQPInfo
+    alloc: AllocationResult
+
+
+def get_control(
+    params: BodyParams,
+    scenario: Scenario,
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    x0: jnp.ndarray,  # (13,) robot state
+    x_ref: jnp.ndarray,  # (Nt+1, 9) center reference window
+    u_ref: jnp.ndarray,  # (Nt+1, 6) nominal wrench window
+    warm: WarmStart,
+) -> ControlOutput:
+    """One full control step: transform, SQP solve, un-rotate, allocate.
+
+    Mirrors `SpiralingController.get_control` (`spiraling_mpc.py:288-317`).
+    Warm-start shifting is the caller's (rollout's) responsibility via
+    `shift_warmstart` so this function stays pure.
+    """
+    c0 = robot_to_center(scenario.r, x0)
+    new_warm, info = sqp_solve(params, scenario, weights, cfg, c0, x_ref, u_ref, warm)
+
+    u0 = new_warm.U[0]
+    u_nom = rot_full_inv(c0[9:13]) @ u_ref[0]
+    u_res = u0 + u_nom + scenario.u_comp
+    u_res = rot_full(scenario.beta) @ u_res
+
+    alloc = allocate_thrusters(
+        u_res,
+        params.D,
+        scenario.u_ub,
+        scenario.faulty_force_gen,
+        scenario.hull_A,
+        scenario.hull_b,
+        scenario.hull_mask,
+    )
+    return ControlOutput(
+        u_phys=alloc.u_phys,
+        wrench=u_res,
+        c0=c0,
+        warm=new_warm,
+        info=info,
+        alloc=alloc,
+    )
