@@ -1,0 +1,137 @@
+"""Benchmark: batched fault-scenario MPC solves/s on one TPU chip.
+
+One "solve" = one full control step for one scenario: SQP (linearize ->
+condense -> ADMM QP) + wrench clip + thruster allocation -- the unit of work
+the reference performs with one IPOPT call + two CVXPY/daqp solves per step
+(`spiraling_mpc.py:346`, `control_allocator.py:63,86`).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 10_000 solves/s (the BASELINE.json target for one
+v5e host).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # fp32 matmuls must run at full precision on the MXU: the ADMM normal
+    # matrix has condition ~1e5 and bf16 passes produce NaNs downstream.
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
+    from ft_mpc_tpu.controllers.spiraling import (
+        MPCConfig,
+        MPCWeights,
+        get_control,
+        init_warmstart,
+    )
+    from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
+    from ft_mpc_tpu.solvers.admm import ADMMConfig
+    from ft_mpc_tpu.utils.faults import BrokenThruster
+    from ft_mpc_tpu.utils.trajectory import (
+        generate_trajectory,
+        prepare_center_trajectory,
+    )
+
+    dt = 0.1
+    horizon = 15
+    B = 1024  # scenario batch per chip
+
+    params = BodyParams.default(dt)
+
+    # Scenario bank: healthy + all 16 single faults + double faults, cycled to B.
+    fault_patterns = [[]]
+    fault_patterns += [[BrokenThruster(i, 1.0)] for i in range(16)]
+    fault_patterns += [
+        [BrokenThruster(i, 1.0), BrokenThruster(j, 1.0)]
+        for i in range(16)
+        for j in range(i + 1, 16)
+    ]
+    uniq = [
+        _build_scenario_with_terminal(params, f, DEFAULT_TUNING)
+        for f in fault_patterns[:32]  # 32 distinct geometries, tiled below
+    ]
+    bank_small = jax.tree.map(lambda *xs: jnp.stack(xs), *uniq)
+    reps = B // len(uniq)
+    bank = jax.tree.map(lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), bank_small)
+
+    weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    cfg = MPCConfig(
+        horizon=horizon,
+        sqp_iters=3,
+        admm=ADMMConfig(iters=50, phases=4, rho=1.0),
+    )
+
+    traj = generate_trajectory("hover", dt, 5)
+    x_ref, u_ref = prepare_center_trajectory(
+        traj, np.array([0.0, 0.0, 0.6]), 16.8, dt, horizon + 1
+    )
+    x_ref = jnp.asarray(x_ref[: horizon + 1])
+    u_ref = jnp.asarray(u_ref[: horizon + 1])
+
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((B, 13), dtype=np.float32)
+    x0[:, 0:3] = rng.uniform(-1, 1, (B, 3))
+    x0[:, 3:6] = rng.uniform(-0.3, 0.3, (B, 3))
+    q = rng.standard_normal((B, 4))
+    x0[:, 6:10] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    x0[:, 10:13] = rng.uniform(-0.3, 0.3, (B, 3))
+    x0 = jnp.asarray(x0)
+
+    warm = jax.jit(
+        jax.vmap(
+            lambda sc, x: init_warmstart(params, sc, cfg, robot_to_center(sc.r, x))
+        )
+    )(bank, x0)
+
+    step = jax.jit(
+        jax.vmap(
+            lambda sc, x, w: get_control(
+                params, sc, weights, cfg, x, x_ref, u_ref, w
+            ),
+        ),
+        static_argnames=(),
+    )
+
+    # Warm-up / compile
+    out = step(bank, x0, warm)
+    jax.block_until_ready(out)
+
+    # Timed: repeated batched control steps with warm-start carry (the
+    # steady-state regime of a deployed controller).
+    n_reps = 10
+    t0 = time.perf_counter()
+    w = warm
+    for _ in range(n_reps):
+        out = step(bank, x0, w)
+        w = out.warm
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    solves_per_s = B * n_reps / elapsed
+
+    # Sanity: outputs finite, residuals small.
+    assert np.isfinite(np.asarray(out.u_phys)).all(), "non-finite thruster commands"
+    max_rp = float(jnp.max(out.info.r_prim))
+
+    result = {
+        "metric": "batched fault-scenario MPC solves/s (1 chip, B=%d, Nt=%d)"
+        % (B, horizon),
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 10_000.0, 3),
+        "batch": B,
+        "per_step_latency_ms": round(1e3 * elapsed / n_reps, 2),
+        "max_r_prim": max_rp,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
