@@ -32,7 +32,7 @@ def main():
         init_warmstart,
     )
     from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
-    from ft_mpc_tpu.solvers.admm import ADMMConfig
+    from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
     from ft_mpc_tpu.utils.faults import BrokenThruster
     from ft_mpc_tpu.utils.trajectory import (
         generate_trajectory,
@@ -65,7 +65,7 @@ def main():
     cfg = MPCConfig(
         horizon=horizon,
         sqp_iters=3,
-        admm=ADMMConfig(iters=50, phases=4, rho=1.0),
+        admm=StructuredADMMConfig(iters=50, phases=4, rho=1.0),
     )
 
     traj = generate_trajectory("hover", dt, 5)

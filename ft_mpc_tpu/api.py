@@ -31,7 +31,7 @@ from ft_mpc_tpu.controllers.spiraling import (
 from ft_mpc_tpu.geometry.scenario import Scenario, TerminalQuadratic, build_scenario
 from ft_mpc_tpu.ops.dynamics import BodyParams, robot_step, robot_to_center
 from ft_mpc_tpu.ops.quaternion import quat_normalize
-from ft_mpc_tpu.solvers.admm import ADMMConfig
+from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
 from ft_mpc_tpu.terminal.quadratic import quadratic_terminal_ingredients
 from ft_mpc_tpu.utils.faults import BrokenThruster
 from ft_mpc_tpu.utils.trajectory import generate_trajectory, prepare_center_trajectory
@@ -89,7 +89,7 @@ class SpiralingMPC:
         self.cfg = MPCConfig(
             horizon=int(self.tuning["horizon"]),
             sqp_iters=int(self.tuning.get("sqp_iters", 3)),
-            admm=ADMMConfig(iters=50, phases=4, rho=1.0),
+            admm=StructuredADMMConfig(iters=50, phases=4, rho=1.0),
         )
         self.trajectory = None  # (T, 9) center reference
         self.nominal_input = None  # (T, 6)

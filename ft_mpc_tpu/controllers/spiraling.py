@@ -38,8 +38,12 @@ import jax.numpy as jnp
 from ft_mpc_tpu.geometry.scenario import Scenario
 from ft_mpc_tpu.ops.dynamics import BodyParams, center_step, robot_to_center
 from ft_mpc_tpu.ops.quaternion import rot_full, rot_full_inv
-from ft_mpc_tpu.solvers.admm import QP, ADMMConfig, admm_solve
 from ft_mpc_tpu.solvers.allocation import AllocationResult, allocate_thrusters
+from ft_mpc_tpu.solvers.mpc_qp import (
+    StructuredADMMConfig,
+    StructuredMPCQP,
+    solve_mpc_qp,
+)
 
 _BIG = 1e8
 N_X = 13
@@ -52,7 +56,7 @@ class MPCConfig(NamedTuple):
 
     horizon: int = 15
     sqp_iters: int = 3
-    admm: ADMMConfig = ADMMConfig(iters=50, phases=4, rho=1.0)
+    admm: StructuredADMMConfig = StructuredADMMConfig(iters=50, phases=4, rho=1.0)
     # Proximal (Levenberg-style) damping added to the QP Hessian diagonal.
     # delta_U = 0 stays optimal at a KKT point, so fixed points are unchanged.
     prox: float = 0.0
@@ -183,7 +187,6 @@ def sqp_solve(
     F = hull_A.shape[0]
 
     R_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), weights.R)
-    G_hull_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), hull_A)  # (Nt*F, Nt*6)
 
     u_unc = scenario.faulty_force_gen
 
@@ -226,17 +229,16 @@ def sqp_solve(
             "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
         )
         stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
-        h_hull = (hull_b[None, :] - stage_offset @ hull_A.T).reshape(-1)
+        h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
         # Terminal-set rows couple to delta_U through S9_N.
         G_term = term_A @ S9_N
         h_term = term_b - term_A @ e0_N
 
-        G = jnp.concatenate([G_hull_blk, G_term], axis=0)
-        h = jnp.concatenate([h_hull, h_term], axis=0)
-
-        # --- 5. QP solve --------------------------------------------------
-        qp = QP(P=H, q=g, A=G, l=jnp.full_like(h, -_BIG), u=h)
-        sol = admm_solve(qp, cfg.admm)
+        # --- 5. QP solve (structure-exploiting ADMM) ----------------------
+        qp = StructuredMPCQP(
+            H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
+        )
+        sol = solve_mpc_qp(qp, cfg.admm)
         dU = sol.x.reshape(Nt, N_U)
         dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
 
