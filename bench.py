@@ -65,7 +65,7 @@ def main():
     cfg = MPCConfig(
         horizon=horizon,
         sqp_iters=3,
-        admm=StructuredADMMConfig(iters=50, phases=4, rho=1.0),
+        admm=StructuredADMMConfig(iters=25, phases=2, rho=1.0),
     )
 
     traj = generate_trajectory("hover", dt, 5)

@@ -56,7 +56,7 @@ class MPCConfig(NamedTuple):
 
     horizon: int = 15
     sqp_iters: int = 3
-    admm: StructuredADMMConfig = StructuredADMMConfig(iters=50, phases=4, rho=1.0)
+    admm: StructuredADMMConfig = StructuredADMMConfig(iters=25, phases=2, rho=1.0)
     # Proximal (Levenberg-style) damping added to the QP Hessian diagonal.
     # delta_U = 0 stays optimal at a KKT point, so fixed points are unchanged.
     prox: float = 0.0
@@ -82,6 +82,8 @@ class MPCWeights(NamedTuple):
 class WarmStart(NamedTuple):
     X: jnp.ndarray  # (Nt+1, 13) center-state trajectory
     U: jnp.ndarray  # (Nt, 6) input deviations
+    y_hull: jnp.ndarray  # (Nt, F) QP duals of stage hull rows (active-set carry)
+    y_term: jnp.ndarray  # (T,) QP duals of terminal rows
 
 
 class SQPInfo(NamedTuple):
@@ -105,7 +107,14 @@ def init_warmstart(
     _, X_tail = jax.lax.scan(step, c0, None, length=cfg.horizon)
     X = jnp.concatenate([c0[None], X_tail], axis=0)
     U = jnp.zeros((cfg.horizon, N_U), dtype=c0.dtype)
-    return WarmStart(X=X, U=U)
+    F = scenario.hull_A.shape[0]
+    T = scenario.term_A.shape[0]
+    return WarmStart(
+        X=X,
+        U=U,
+        y_hull=jnp.zeros((cfg.horizon, F), dtype=c0.dtype),
+        y_term=jnp.zeros(T, dtype=c0.dtype),
+    )
 
 
 def shift_warmstart(warm: WarmStart, c0: jnp.ndarray) -> WarmStart:
@@ -118,7 +127,8 @@ def shift_warmstart(warm: WarmStart, c0: jnp.ndarray) -> WarmStart:
     """
     X = jnp.concatenate([c0[None], warm.X[2:], warm.X[-1:]], axis=0)
     U = jnp.concatenate([warm.U[1:], warm.U[-1:]], axis=0)
-    return WarmStart(X=X, U=U)
+    y_hull = jnp.concatenate([warm.y_hull[1:], warm.y_hull[-1:]], axis=0)
+    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=warm.y_term)
 
 
 def _stage_dynamics(
@@ -193,7 +203,7 @@ def sqp_solve(
     stage_dyn = partial(_stage_dynamics, params, scenario)
 
     def sqp_iteration(carry, _):
-        X, U = carry
+        X, U, yh, yt = carry
 
         # --- 1. linearize dynamics along (X, U) -------------------------
         f_vals = jax.vmap(stage_dyn)(X[:-1], U, u_ref[:Nt])
@@ -238,7 +248,7 @@ def sqp_solve(
         qp = StructuredMPCQP(
             H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
         )
-        sol = solve_mpc_qp(qp, cfg.admm)
+        sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt)
         dU = sol.x.reshape(Nt, N_U)
         dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
 
@@ -280,11 +290,14 @@ def sqp_solve(
             jnp.max(jnp.abs(defects)),
             alpha * jnp.max(jnp.abs(sol.x)),
         )
-        return (X_new, U_new), info
+        return (X_new, U_new, sol.y_hull, sol.y_term), info
 
     warm = warm._replace(X=warm.X.at[0].set(c0))
-    (X, U), infos = jax.lax.scan(
-        sqp_iteration, (warm.X, warm.U), None, length=cfg.sqp_iters
+    (X, U, y_hull, y_term), infos = jax.lax.scan(
+        sqp_iteration,
+        (warm.X, warm.U, warm.y_hull, warm.y_term),
+        None,
+        length=cfg.sqp_iters,
     )
 
     # Realized objective (diagnostic, exact nonlinear-trajectory quadratic cost).
@@ -303,7 +316,7 @@ def sqp_solve(
         defect=infos[2][-1],
         du_norm=infos[3][-1],
     )
-    return WarmStart(X=X, U=U), info
+    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term), info
 
 
 class ControlOutput(NamedTuple):

@@ -97,12 +97,15 @@ def admm_solve(
         x, z, y, rho_base = carry
         rho = rho_base * eq_scale
         K = qp.P + cfg.sigma * eye + (qp.A.T * rho) @ qp.A
-        chol = cho_factor(K)
+        # Explicit inverse: iterations become pure matvecs (no sequential
+        # triangular solves on the TPU hot path).  K is regularized by sigma
+        # and rho, so the inverse is numerically benign at fp32.
+        Kinv = cho_solve(cho_factor(K), eye)
 
         def body(_, st):
             x, z, y = st
             rhs = cfg.sigma * x - qp.q + qp.A.T @ (rho * z - y)
-            x_t = cho_solve(chol, rhs)
+            x_t = Kinv @ rhs
             x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
             z_hat = cfg.alpha * (qp.A @ x_t) + (1.0 - cfg.alpha) * z
             z_new = jnp.clip(z_hat + y / rho, qp.l, qp.u)

@@ -42,7 +42,7 @@ def clip_wrench(
     hull_A: jnp.ndarray,
     hull_b: jnp.ndarray,
     hull_mask: jnp.ndarray,
-    cfg: ADMMConfig = ADMMConfig(iters=60, rho=1.0),
+    cfg: ADMMConfig = ADMMConfig(iters=40, phases=2, rho=20.0),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Project w0 onto {A w <= b} (masked rows inactive).
 
@@ -73,7 +73,7 @@ def allocate_thrusters(
     hull_A: jnp.ndarray,
     hull_b: jnp.ndarray,
     hull_mask: jnp.ndarray,
-    cfg: ADMMConfig = ADMMConfig(iters=80, rho=1.0),
+    cfg: ADMMConfig = ADMMConfig(iters=40, phases=2, rho=1.0),
 ) -> AllocationResult:
     """Full allocation path: fault offset, hull projection, min-energy QP.
 

@@ -63,8 +63,12 @@ class StructuredSolution(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_mpc_qp(
-    qp: StructuredMPCQP, cfg: StructuredADMMConfig = StructuredADMMConfig()
+    qp: StructuredMPCQP,
+    cfg: StructuredADMMConfig = StructuredADMMConfig(),
+    y_hull0: jnp.ndarray | None = None,
+    y_term0: jnp.ndarray | None = None,
 ) -> StructuredSolution:
+    """Solve one structured QP; optional dual warm start (active-set reuse)."""
     n = qp.H.shape[-1]
     Nt = qp.h_hull.shape[-2]
     dtype = qp.H.dtype
@@ -83,8 +87,8 @@ def solve_mpc_qp(
     eye_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), AhTAh)
 
     x = jnp.zeros(n, dtype)
-    yh = jnp.zeros_like(qp.h_hull)
-    yt = jnp.zeros_like(qp.h_term)
+    yh = jnp.zeros_like(qp.h_hull) if y_hull0 is None else y_hull0
+    yt = jnp.zeros_like(qp.h_term) if y_term0 is None else y_term0
     zh0, zt0 = Gx(x)
     zh = jnp.minimum(zh0, qp.h_hull)
     zt = jnp.minimum(zt0, qp.h_term)

@@ -130,7 +130,7 @@ def test_allocation_is_min_energy():
 def test_clip_wrench_projects_infeasible():
     params = BodyParams.default(0.1)
     sc = build_scenario(params, [])
-    big = jnp.asarray([100.0, 0, 0, 0, 0, 0])  # far outside attainable set
+    big = jnp.asarray([20.0, 0, 0, 0, 0, 0])  # outside attainable set (max Fx = 13.6)
     w, clipped = clip_wrench(big, sc.hull_A, sc.hull_b, sc.hull_mask)
     assert bool(clipped)
     A = np.asarray(sc.hull_A) * np.asarray(sc.hull_mask)[:, None]
