@@ -64,8 +64,9 @@ def _build_scenario_with_terminal(
         float(params.dt),
         time_scaling=float(tuning.get("time_scaling", 5)),
     )
+    f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     term = TerminalQuadratic(
-        P=jnp.asarray(P9), p=jnp.asarray(p9), c=jnp.asarray(c)
+        P=P9.astype(f_dtype), p=p9.astype(f_dtype), c=np.asarray(c, dtype=f_dtype)
     )
     return build_scenario(params, faults, terminal=term, terminal_set=tset)
 

@@ -117,7 +117,7 @@ def build_scenario(
     if terminal is None:
         # Placeholder P = 0; callers normally pass a DARE/pipeline-based cost.
         terminal = TerminalQuadratic(
-            P=jnp.zeros((9, 9)), p=jnp.zeros(9), c=jnp.asarray(0.0)
+            P=np.zeros((9, 9)), p=np.zeros(9), c=np.asarray(0.0)
         )
     if terminal_set is None:
         term_A = np.zeros((max_term_facets, 9))
@@ -126,7 +126,12 @@ def build_scenario(
     else:
         term_A, term_b, term_mask = terminal_set.as_padded(max_term_facets)
 
-    as_f = lambda x: jnp.asarray(x, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    # Host-side numpy throughout: each jnp.asarray would be a separate
+    # host->device transfer (and through a remote-compile tunnel, a separate
+    # round trip).  Leaves stay numpy; jit/device_put moves the whole bank in
+    # one shot when it is first used.
+    f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    as_f = lambda x: np.asarray(x, dtype=f_dtype)
     return Scenario(
         fault=fault,
         faulty_force=as_f(faulty_force),
@@ -149,7 +154,7 @@ def build_scenario(
 
 def stack_scenarios(scenarios: Sequence[Scenario]) -> ScenarioBank:
     """Stack host-built scenarios into a batched bank (leading scenario axis)."""
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenarios)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *scenarios)
     return ScenarioBank(scenarios=stacked, size=len(scenarios))
 
 

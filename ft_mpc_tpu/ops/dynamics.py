@@ -72,14 +72,20 @@ class BodyParams(NamedTuple):
 
     @classmethod
     def default(cls, dt: float = 0.1) -> "BodyParams":
+        import jax
+
         inertia = np.diag([0.2, 0.3, 0.25])
+        # numpy leaves: avoids per-field host->device transfers at build time;
+        # jit moves the whole pytree once on first call.
+        f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        as_f = lambda x: np.asarray(x, dtype=f_dtype)
         return cls(
-            mass=jnp.asarray(16.8),
-            inertia=jnp.asarray(inertia),
-            inertia_inv=jnp.asarray(np.linalg.inv(inertia)),
-            max_thrust=jnp.asarray(3.4),
-            D=jnp.asarray(build_thruster_matrix()),
-            dt=jnp.asarray(dt),
+            mass=as_f(16.8),
+            inertia=as_f(inertia),
+            inertia_inv=as_f(np.linalg.inv(inertia)),
+            max_thrust=as_f(3.4),
+            D=as_f(build_thruster_matrix()),
+            dt=as_f(dt),
         )
 
 
@@ -96,7 +102,7 @@ class FaultState(NamedTuple):
 
     @classmethod
     def healthy(cls) -> "FaultState":
-        z = jnp.zeros(N_THRUSTERS)
+        z = np.zeros(N_THRUSTERS)
         return cls(broken=z, intensity=z)
 
     @classmethod
@@ -107,7 +113,7 @@ class FaultState(NamedTuple):
         for f in faults:
             broken[f.index] = 1.0
             intensity[f.index] = f.intensity
-        return cls(broken=jnp.asarray(broken), intensity=jnp.asarray(intensity))
+        return cls(broken=broken, intensity=intensity)
 
     def faulty_force(self, params: BodyParams) -> jnp.ndarray:
         """(16,) constant stuck-on thrust per thruster."""
