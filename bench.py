@@ -11,12 +11,13 @@ v5e host).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def main(B: int | None = None):
     import jax
 
     # fp32 matmuls must run at full precision on the MXU: the ADMM normal
@@ -41,7 +42,8 @@ def main():
 
     dt = 0.1
     horizon = 15
-    B = 1024  # scenario batch per chip
+    if B is None:
+        B = int(os.environ.get("FT_MPC_BENCH_BATCH", 2048))  # scenarios per chip
 
     params = BodyParams.default(dt)
 
@@ -57,15 +59,15 @@ def main():
         _build_scenario_with_terminal(params, f, DEFAULT_TUNING)
         for f in fault_patterns[:32]  # 32 distinct geometries, tiled below
     ]
-    bank_small = jax.tree.map(lambda *xs: jnp.stack(xs), *uniq)
+    bank_small = jax.tree.map(lambda *xs: np.stack(xs), *uniq)
     reps = B // len(uniq)
-    bank = jax.tree.map(lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), bank_small)
+    bank = jax.tree.map(lambda x: np.tile(x, (reps,) + (1,) * (x.ndim - 1)), bank_small)
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
     cfg = MPCConfig(
         horizon=horizon,
         sqp_iters=3,
-        admm=StructuredADMMConfig(iters=25, phases=2, rho=1.0),
+        admm=StructuredADMMConfig(iters=30, phases=1, rho=50.0),
     )
 
     traj = generate_trajectory("hover", dt, 5)

@@ -90,7 +90,7 @@ class SpiralingMPC:
         self.cfg = MPCConfig(
             horizon=int(self.tuning["horizon"]),
             sqp_iters=int(self.tuning.get("sqp_iters", 3)),
-            admm=StructuredADMMConfig(iters=25, phases=2, rho=1.0),
+            admm=StructuredADMMConfig(iters=30, phases=1, rho=50.0),
         )
         self.trajectory = None  # (T, 9) center reference
         self.nominal_input = None  # (T, 6)

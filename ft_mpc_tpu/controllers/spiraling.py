@@ -56,14 +56,14 @@ class MPCConfig(NamedTuple):
 
     horizon: int = 15
     sqp_iters: int = 3
-    admm: StructuredADMMConfig = StructuredADMMConfig(iters=25, phases=2, rho=1.0)
+    admm: StructuredADMMConfig = StructuredADMMConfig(iters=30, phases=1, rho=50.0)
     # Proximal (Levenberg-style) damping added to the QP Hessian diagonal.
     # delta_U = 0 stays optimal at a KKT point, so fixed points are unchanged.
     prox: float = 0.0
     # Fixed-candidate merit line search (the globalization role IPOPT's
     # filter line search plays in the reference, done with static shapes:
     # all candidates are evaluated in one vmap and the best is selected).
-    ls_alphas: tuple = (1.0, 0.5, 0.25, 0.0)
+    ls_alphas: tuple = (1.0, 0.5, 0.0)
     ls_penalty: float = 1e3  # l1 penalty weight on defects + violations
 
 
@@ -84,6 +84,7 @@ class WarmStart(NamedTuple):
     U: jnp.ndarray  # (Nt, 6) input deviations
     y_hull: jnp.ndarray  # (Nt, F) QP duals of stage hull rows (active-set carry)
     y_term: jnp.ndarray  # (T,) QP duals of terminal rows
+    rho: jnp.ndarray  # scalar ADMM penalty carry (cross-step adaptivity)
 
 
 class SQPInfo(NamedTuple):
@@ -114,6 +115,7 @@ def init_warmstart(
         U=U,
         y_hull=jnp.zeros((cfg.horizon, F), dtype=c0.dtype),
         y_term=jnp.zeros(T, dtype=c0.dtype),
+        rho=jnp.asarray(cfg.admm.rho, dtype=c0.dtype),
     )
 
 
@@ -128,7 +130,7 @@ def shift_warmstart(warm: WarmStart, c0: jnp.ndarray) -> WarmStart:
     X = jnp.concatenate([c0[None], warm.X[2:], warm.X[-1:]], axis=0)
     U = jnp.concatenate([warm.U[1:], warm.U[-1:]], axis=0)
     y_hull = jnp.concatenate([warm.y_hull[1:], warm.y_hull[-1:]], axis=0)
-    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=warm.y_term)
+    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=warm.y_term, rho=warm.rho)
 
 
 def _stage_dynamics(
@@ -203,7 +205,7 @@ def sqp_solve(
     stage_dyn = partial(_stage_dynamics, params, scenario)
 
     def sqp_iteration(carry, _):
-        X, U, yh, yt = carry
+        X, U, yh, yt, rho = carry
 
         # --- 1. linearize dynamics along (X, U) -------------------------
         f_vals = jax.vmap(stage_dyn)(X[:-1], U, u_ref[:Nt])
@@ -248,7 +250,7 @@ def sqp_solve(
         qp = StructuredMPCQP(
             H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
         )
-        sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt)
+        sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho)
         dU = sol.x.reshape(Nt, N_U)
         dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
 
@@ -290,12 +292,12 @@ def sqp_solve(
             jnp.max(jnp.abs(defects)),
             alpha * jnp.max(jnp.abs(sol.x)),
         )
-        return (X_new, U_new, sol.y_hull, sol.y_term), info
+        return (X_new, U_new, sol.y_hull, sol.y_term, sol.rho), info
 
     warm = warm._replace(X=warm.X.at[0].set(c0))
-    (X, U, y_hull, y_term), infos = jax.lax.scan(
+    (X, U, y_hull, y_term, rho), infos = jax.lax.scan(
         sqp_iteration,
-        (warm.X, warm.U, warm.y_hull, warm.y_term),
+        (warm.X, warm.U, warm.y_hull, warm.y_term, warm.rho),
         None,
         length=cfg.sqp_iters,
     )
@@ -316,7 +318,7 @@ def sqp_solve(
         defect=infos[2][-1],
         du_norm=infos[3][-1],
     )
-    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term), info
+    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho), info
 
 
 class ControlOutput(NamedTuple):

@@ -29,10 +29,11 @@ from ft_mpc_tpu.ops.dynamics import BodyParams, FaultState, N_THRUSTERS
 from ft_mpc_tpu.utils.faults import BrokenThruster
 
 # Default padding sizes for the scenario tensors.  The reference plant's
-# wrench zonotope has 26 facets healthy and under typical fault patterns;
-# 64 leaves headroom for exotic multi-fault patterns.
-MAX_HULL_FACETS = 64
-MAX_TERM_FACETS = 64
+# wrench zonotope has 26 facets healthy and under typical fault patterns
+# (32 covers every single/double fault of the reference plant; the builder
+# raises if a pattern exceeds it, in which case pass a larger value).
+MAX_HULL_FACETS = 32
+MAX_TERM_FACETS = 32
 
 
 class TerminalQuadratic(NamedTuple):

@@ -59,6 +59,7 @@ class StructuredSolution(NamedTuple):
     y_term: jnp.ndarray  # (T,) duals of terminal rows
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
+    rho: jnp.ndarray  # adapted step size (carry across solves to skip phases)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -67,8 +68,14 @@ def solve_mpc_qp(
     cfg: StructuredADMMConfig = StructuredADMMConfig(),
     y_hull0: jnp.ndarray | None = None,
     y_term0: jnp.ndarray | None = None,
+    rho0: jnp.ndarray | None = None,
 ) -> StructuredSolution:
-    """Solve one structured QP; optional dual warm start (active-set reuse)."""
+    """Solve one structured QP.
+
+    Optional warm starts: duals (active-set reuse) and rho (the adapted
+    penalty from the previous solve -- lets a warm caller run phases=1,
+    i.e. a single factorization, while keeping cross-step adaptivity).
+    """
     n = qp.H.shape[-1]
     Nt = qp.h_hull.shape[-2]
     dtype = qp.H.dtype
@@ -130,13 +137,19 @@ def solve_mpc_qp(
             jnp.maximum(jnp.max(jnp.abs(qp.H @ x)), jnp.max(jnp.abs(qp.g))), 1e-6
         )
         ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
-        rho_new = jnp.clip(rho * jnp.sqrt(ratio), cfg.rho_min, cfg.rho_max)
+        # Bound the per-phase change so a warm-carried rho stays stable.
+        factor = jnp.clip(jnp.sqrt(ratio), 0.2, 5.0)
+        rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
         return (x, zh, zt, yh, yt, rho_new), (r_prim, r_dual)
 
-    rho0 = jnp.asarray(cfg.rho, dtype)
-    (x, zh, zt, yh, yt, _), (rps, rds) = jax.lax.scan(
-        run_phase, (x, zh, zt, yh, yt, rho0), None, length=cfg.phases
+    rho_init = (
+        jnp.asarray(cfg.rho, dtype)
+        if rho0 is None
+        else jnp.clip(rho0, cfg.rho_min, cfg.rho_max).astype(dtype)
+    )
+    (x, zh, zt, yh, yt, rho_out), (rps, rds) = jax.lax.scan(
+        run_phase, (x, zh, zt, yh, yt, rho_init), None, length=cfg.phases
     )
     return StructuredSolution(
-        x=x, y_hull=yh, y_term=yt, r_prim=rps[-1], r_dual=rds[-1]
+        x=x, y_hull=yh, y_term=yt, r_prim=rps[-1], r_dual=rds[-1], rho=rho_out
     )

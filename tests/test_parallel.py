@@ -93,5 +93,5 @@ def test_sharded_rollout_matches_unsharded():
     )
     np.testing.assert_allclose(
         np.asarray(hist_sharded.state), np.asarray(hist_local.state),
-        atol=1e-10,
+        atol=1e-8,
     )
