@@ -14,6 +14,7 @@ mid-run faults (`examples/sim.py:25-27`, `sim_env.py:67-75`).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Sequence
 
 import jax
@@ -47,8 +48,21 @@ DEFAULT_TUNING = {
 
 
 def _build_scenario_with_terminal(
-    params: BodyParams, faults: Sequence[BrokenThruster], tuning: dict
+    params: BodyParams,
+    faults: Sequence[BrokenThruster],
+    tuning: dict,
+    terminal_mode: str = "quadratic",
+    cache_dir: str | None = None,
 ) -> Scenario:
+    """Compile a fault pattern + tuning into a Scenario with terminal data.
+
+    terminal_mode:
+      'quadratic' -- fast DARE/Lyapunov ingredients (default; milliseconds).
+      'empc'      -- full offline pipeline (`ft_mpc_tpu.terminal.pipeline`):
+                     certified input-bound box, per-axis eMPC value-function
+                     bound sampled via batched QPs, MCAIS terminal set.
+                     Cached to disk per (fault pattern, tuning).
+    """
     D = np.asarray(params.D)
     ff = np.zeros(16)
     for f in faults:
@@ -56,14 +70,58 @@ def _build_scenario_with_terminal(
     sp = SpiralParameters.compute(
         float(params.mass), np.asarray(params.inertia), D @ ff
     )
-    P9, p9, c, tset = quadratic_terminal_ingredients(
-        np.asarray(tuning["Q"], dtype=np.float64),
-        np.asarray(tuning["R"], dtype=np.float64),
-        sp.M,
-        tuning.get("k_omega", [1.0, 1.0, 1.0]),
-        float(params.dt),
-        time_scaling=float(tuning.get("time_scaling", 5)),
-    )
+    if terminal_mode == "quadratic":
+        P9, p9, c, tset = quadratic_terminal_ingredients(
+            np.asarray(tuning["Q"], dtype=np.float64),
+            np.asarray(tuning["R"], dtype=np.float64),
+            sp.M,
+            tuning.get("k_omega", [1.0, 1.0, 1.0]),
+            float(params.dt),
+            time_scaling=float(tuning.get("time_scaling", 5)),
+        )
+    elif terminal_mode == "empc":
+        from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
+        from ft_mpc_tpu.terminal.pipeline import (
+            cache_key,
+            compute_terminal_ingredients,
+            load_terminal_ingredients,
+            save_terminal_ingredients,
+        )
+
+        cdir = Path(cache_dir) if cache_dir else (
+            Path(__file__).parent / "config" / "terminal_cache"
+        )
+        cdir.mkdir(parents=True, exist_ok=True)
+        cpath = cdir / f"{cache_key(faults, tuning)}.npz"
+        if cpath.exists():
+            ti = load_terminal_ingredients(cpath)
+        else:
+            broken = (ff > 0).astype(float)
+            hull = attainable_wrench_polytope(
+                D, float(params.max_thrust), broken,
+                ff / float(params.max_thrust),
+            )
+            ti = compute_terminal_ingredients(
+                hull=hull,
+                M=sp.M,
+                f_virt6=np.concatenate([sp.f_virt, np.zeros(3)]),
+                omega_des=sp.omega_des,
+                r=sp.r,
+                mass=float(params.mass),
+                inertia=np.asarray(params.inertia),
+                dt=float(params.dt),
+                Q=np.asarray(tuning["Q"], dtype=np.float64),
+                R=np.asarray(tuning["R"], dtype=np.float64),
+                k_omega=tuning.get("k_omega", [1.0, 1.0, 1.0]),
+                max_acceleration=float(tuning.get("max_acceleration", 0.0)),
+                time_scaling=float(tuning.get("time_scaling", 5)),
+                empc_horizon=int(tuning.get("empc_horizon", 3)),
+            )
+            save_terminal_ingredients(ti, cpath)
+        P9, p9, c, tset = ti.P9, ti.p9, ti.c, ti.term_set
+    else:
+        raise ValueError(f"unknown terminal_mode {terminal_mode}")
+
     f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     term = TerminalQuadratic(
         P=P9.astype(f_dtype), p=p9.astype(f_dtype), c=np.asarray(c, dtype=f_dtype)
@@ -79,11 +137,15 @@ class SpiralingMPC:
         params: BodyParams,
         faults: Sequence[BrokenThruster] = (),
         tuning: dict | None = None,
+        terminal_mode: str = "quadratic",
     ):
         self.params = params
         self.tuning = {**DEFAULT_TUNING, **(tuning or {})}
         self.faults = list(faults)
-        self.scenario = _build_scenario_with_terminal(params, self.faults, self.tuning)
+        self.terminal_mode = terminal_mode
+        self.scenario = _build_scenario_with_terminal(
+            params, self.faults, self.tuning, terminal_mode=terminal_mode
+        )
         self.weights = MPCWeights.from_diagonals(
             self.tuning["Q"], self.tuning["R"]
         )
@@ -101,7 +163,7 @@ class SpiralingMPC:
         """Add a fault and recompile the scenario data (host, milliseconds)."""
         self.faults.append(fault)
         self.scenario = _build_scenario_with_terminal(
-            self.params, self.faults, self.tuning
+            self.params, self.faults, self.tuning, terminal_mode=self.terminal_mode
         )
         if self.trajectory is not None:
             # Re-prepare: omega_des may change with the new orbit parameters.

@@ -33,7 +33,7 @@ from ft_mpc_tpu.utils.faults import BrokenThruster
 # (32 covers every single/double fault of the reference plant; the builder
 # raises if a pattern exceeds it, in which case pass a larger value).
 MAX_HULL_FACETS = 32
-MAX_TERM_FACETS = 32
+MAX_TERM_FACETS = 64
 
 
 class TerminalQuadratic(NamedTuple):

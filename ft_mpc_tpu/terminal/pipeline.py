@@ -1,0 +1,535 @@
+"""Offline terminal-ingredient pipeline (per fault class).
+
+The TPU-native re-design of `explicitMPCTerminalIngredients`
+(`ft_mpc/controllers/tools/terminal_ingredients.py:21-426`).  Same staged
+structure, different machinery:
+
+  A. `input_bound_box` -- the reference solves a CasADi/IPOPT NLP maximizing
+     a log-volume box inside the acceleration polytope, with huge
+     sympy-derived symbolic upper bounds on the feedback-linearization error
+     (`:57-166`).  Here the fb-lin residual is the *exact* coupling
+     left out of the double-integrator model (centripetal delta, Euler
+     coupling, gyroscopic term -- read off `center_dx_dt`), bounded
+     numerically over the omega-error box by dense grid evaluation with a
+     safety factor; the resulting constraints are *linear in r_empc* for
+     fixed emax, so the optimizer is an exact 1-D sweep + closed-form max
+     instead of an NLP.
+  B. `empc_ingredients` -- per-axis double-integrator DARE + MCAIS
+     (replacing pympc: `geometry.invariant.mcais`).
+  C. `value_function_bound` -- the reference enumerates an explicit MPC and
+     fits a quadratic upper bound on a grid (`:168-273`).  Here the value
+     function is *sampled by solving the grid of small MPC QPs as one
+     batched ADMM call* (thousands of QPs in one device launch), then the
+     quadratic upper bound is itself a constrained least-squares QP solved
+     with the same solver.
+  D. omega Lyapunov cost (`:316-321` parity) + assembly into
+     (P9, p9, c) and the block terminal set (`calc_terminal_set`,
+     `:396-426` parity).
+  E. data-only serialization (npz).  The reference stores python code in
+     YAML and `eval`s it at load (`:444-474`) -- deliberately not
+     reproduced (SURVEY.md quirk 8).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import scipy.linalg as la
+
+from ft_mpc_tpu.geometry.invariant import mcais
+from ft_mpc_tpu.geometry.polytope import Polytope
+
+
+# ----------------------------------------------------------------------------
+# Stage A: input-bound box (emax, r_empc)
+# ----------------------------------------------------------------------------
+
+def fb_lin_residual(eo: np.ndarray, omega_des, r, inertia) -> np.ndarray:
+    """Exact 6-d acceleration residual ignored by the double-integrator model.
+
+    For omega = omega_des + eo:
+      lin: w x (w x r) - w_des x (w_des x r) - (J^-1 g) x r
+      ang: -J^-1 g,   g = w x (J w)   (gyroscopic)
+    These are exactly the terms of `center_dx_dt` that the per-axis
+    double-integrator eMPC does not model.
+    """
+    w = omega_des + eo
+    J = inertia
+    g = np.cross(w, J @ w)
+    Jinv_g = np.linalg.solve(J, g)
+    lin = (
+        np.cross(w, np.cross(w, r))
+        - np.cross(omega_des, np.cross(omega_des, r))
+        - np.cross(Jinv_g, r)
+    )
+    return np.concatenate([lin, -Jinv_g])
+
+
+def _fb_grid(emax: float, omega_des, r, inertia, grid_n: int = 9) -> np.ndarray:
+    """fb_lin_residual evaluated on the |eo_i| <= emax grid: (grid_n^3, 6)."""
+    g = np.linspace(-emax, emax, grid_n)
+    ex, ey, ez = np.meshgrid(g, g, g, indexing="ij")
+    eos = np.stack([ex.ravel(), ey.ravel(), ez.ravel()], axis=1)
+    return np.array(
+        [fb_lin_residual(eo, omega_des, r, inertia) for eo in eos]
+    )
+
+
+def _fb_bound_per_facet(
+    A: np.ndarray, emax: float, omega_des, r, inertia, grid_n: int = 9,
+    safety: float = 1.1,
+) -> np.ndarray:
+    """Per-facet directional bound max_eo a_i . fb(eo) (grid + margin).
+
+    Sharper than a single norm bound: pure-torque facets only pay for the
+    gyroscopic term, not the (much larger) centripetal delta.
+    """
+    fb = _fb_grid(emax, omega_des, r, inertia, grid_n)  # (G, 6)
+    return safety * np.maximum((A @ fb.T).max(axis=1), 0.0)
+
+
+def input_bound_box(
+    hull: Polytope,
+    M: np.ndarray,
+    f_virt6: np.ndarray,
+    k_omega: np.ndarray,
+    omega_des: np.ndarray,
+    r: np.ndarray,
+    inertia: np.ndarray,
+    max_acceleration: float = 0.0,
+    emax_grid=None,
+) -> tuple[np.ndarray, float]:
+    """Largest (emax box, r_empc ball) certified inside the acceleration set.
+
+    Constraint per unit-norm facet a_i of the acceleration polytope
+    (hull mapped through M^{-1}, shrunk by max_acceleration):
+
+        r_empc ||a_i[:3]|| + a_i.(M f_virt6) + max_corner a_i.[0;-k eo]
+            + fb_bound(emax) <= b_i
+
+    For fixed emax everything but the first term is a constant, so the
+    max feasible r_empc is closed-form; emax is optimized by 1-D sweep of
+    the reference's log-volume objective (`terminal_ingredients.py:137-141`).
+    """
+    Minv = np.linalg.inv(M)
+    acc = Polytope(hull.A @ Minv, hull.b).normalized()
+    acc = acc.minkowski_subtract_ball(max_acceleration)
+    A, b = acc.A, acc.b
+
+    nominal = A @ (M @ f_virt6)  # per-facet nominal acceleration usage
+    an_lin = np.linalg.norm(A[:, :3], axis=1)
+    A_om = A[:, 3:]  # facet rows on angular-acceleration components
+    k = np.asarray(k_omega, dtype=np.float64)
+
+    if emax_grid is None:
+        emax_grid = np.linspace(0.01, 1.2, 120)
+
+    best = None
+    for emax in emax_grid:
+        # worst corner of a_i . [0; -k eo] over |eo|<=emax:  sum |A_om k| emax
+        corner = np.abs(A_om * k[None, :]).sum(axis=1) * emax
+        slack = b - nominal - corner - _fb_bound_per_facet(
+            A, emax, np.asarray(omega_des), np.asarray(r), np.asarray(inertia)
+        )
+        if np.any(slack < 0):
+            continue  # emax itself infeasible
+        with np.errstate(divide="ignore"):
+            r_caps = np.where(an_lin > 1e-9, slack / np.maximum(an_lin, 1e-9), np.inf)
+        r_empc = float(np.min(r_caps))
+        if r_empc <= 0:
+            continue
+        # reference objective: 15 log r_empc + sum log(2 k_i emax)
+        obj = 15.0 * np.log(r_empc) + float(np.sum(np.log(2.0 * k * emax)))
+        if best is None or obj > best[0]:
+            best = (obj, emax, r_empc)
+    if best is None:
+        raise RuntimeError("no feasible (emax, r_empc): fault pattern too severe")
+    _, emax, r_empc = best
+    return np.array([emax, emax, emax]), r_empc
+
+
+# ----------------------------------------------------------------------------
+# Stage B: per-axis eMPC ingredients
+# ----------------------------------------------------------------------------
+
+@dataclass
+class AxisEMPC:
+    Ad: np.ndarray  # (2, 2)
+    Bd: np.ndarray  # (2, 1)
+    Q: np.ndarray  # (2, 2)
+    R: np.ndarray  # (1, 1)
+    P: np.ndarray  # (2, 2) DARE cost-to-go
+    K: np.ndarray  # (1, 2) terminal LQR gain
+    uimax: float
+    domain: Polytope  # MCAIS in (pos, vel)
+
+
+def empc_ingredients(
+    q_pos: float,
+    q_vel: float,
+    r_in: float,
+    dt: float,
+    time_scaling: float,
+    uimax: float,
+    pos_bound: float = 5.0,
+    vel_bound: float = 1.5,
+) -> AxisEMPC:
+    h = time_scaling * dt
+    Ad = np.array([[1.0, h], [0.0, 1.0]])
+    Bd = np.array([[0.5 * h * h], [h]])
+    Q = np.diag([q_pos, q_vel]) * time_scaling
+    R = np.array([[r_in]]) * time_scaling
+    P = la.solve_discrete_are(Ad, Bd, Q, R)
+    K = np.linalg.solve(R + Bd.T @ P @ Bd, Bd.T @ P @ Ad)
+    A_cl = Ad - Bd @ K
+
+    C = np.vstack([np.eye(2), -np.eye(2), K, -K])
+    d = np.array([pos_bound, vel_bound, pos_bound, vel_bound, uimax, uimax])
+    domain = mcais(A_cl, C, d)
+    return AxisEMPC(Ad=Ad, Bd=Bd, Q=Q, R=R, P=P, K=K, uimax=uimax, domain=domain)
+
+
+# ----------------------------------------------------------------------------
+# Stage C: value-function sampling (batched QPs) + quadratic upper bound
+# ----------------------------------------------------------------------------
+
+def sample_value_function(
+    empc: AxisEMPC,
+    horizon: int,
+    pos_bound: float = 5.0,
+    vel_bound: float = 1.5,
+    grid_step: float = 0.1,
+):
+    """V(x0) of the N-step MPC on a grid, via ONE batched ADMM call.
+
+    The reference enumerates an explicit MPC solution and queries it per
+    point (`bound_empc_cost`, `terminal_ingredients.py:221-273`); here each
+    grid point is a tiny condensed QP and the whole grid solves in one
+    device launch.
+    Returns (points (M, 2), values (M,), feasible (M,) bool).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ft_mpc_tpu.solvers.admm import QP, ADMMConfig, admm_solve
+
+    N = horizon
+    Ad, Bd, Q, R, P = empc.Ad, empc.Bd, empc.Q, empc.R, empc.P
+
+    # Condensed prediction: x_k = A^k x0 + sum_j A^{k-1-j} B u_j, k=1..N
+    powers = [np.linalg.matrix_power(Ad, k) for k in range(N + 1)]
+    Phi = np.zeros((2 * N, N))  # stacks x_1..x_N
+    Lam = np.zeros((2 * N, 2))
+    for kk in range(1, N + 1):
+        Lam[2 * (kk - 1) : 2 * kk] = powers[kk]
+        for j in range(kk):
+            Phi[2 * (kk - 1) : 2 * kk, j : j + 1] = powers[kk - 1 - j] @ Bd
+
+    # Cost: sum_{k=0}^{N-1} x_k Q x_k + u_k R u_k + x_N P x_N
+    Qbar = np.zeros((2 * N, 2 * N))
+    for kk in range(1, N):
+        Qbar[2 * (kk - 1) : 2 * kk, 2 * (kk - 1) : 2 * kk] = Q
+    Qbar[2 * (N - 1) :, 2 * (N - 1) :] = P
+    H = 2.0 * (Phi.T @ Qbar @ Phi + np.eye(N) * R[0, 0])
+    Gq = 2.0 * Phi.T @ Qbar @ Lam  # q(x0) = Gq x0
+
+    # Constraints: |u_k| <= uimax; x_k in X for k=1..N-1; x_N in domain.
+    rowsA, rows_off, rows_d = [], [], []
+    rowsA.append(np.eye(N))
+    rows_off.append(np.zeros((N, 2)))
+    rows_d.append(np.full(N, empc.uimax))
+    rowsA.append(-np.eye(N))
+    rows_off.append(np.zeros((N, 2)))
+    rows_d.append(np.full(N, empc.uimax))
+    Xbox_A = np.vstack([np.eye(2), -np.eye(2)])
+    Xbox_d = np.array([pos_bound, vel_bound, pos_bound, vel_bound])
+    for kk in range(1, N):
+        sel = slice(2 * (kk - 1), 2 * kk)
+        rowsA.append(Xbox_A @ Phi[sel])
+        rows_off.append(Xbox_A @ Lam[sel])
+        rows_d.append(Xbox_d)
+    selN = slice(2 * (N - 1), 2 * N)
+    rowsA.append(empc.domain.A @ Phi[selN])
+    rows_off.append(empc.domain.A @ Lam[selN])
+    rows_d.append(empc.domain.b)
+    Acon = np.vstack(rowsA)
+    Eoff = np.vstack(rows_off)
+    dcon = np.concatenate(rows_d)
+
+    xs = np.arange(-pos_bound, pos_bound + 1e-9, grid_step)
+    vs = np.arange(-vel_bound, vel_bound + 1e-9, grid_step)
+    pts = np.array([[x, v] for x in xs for v in vs])
+    Mpts = pts.shape[0]
+
+    qs = pts @ Gq.T  # (M, N)
+    us = dcon[None, :] - pts @ Eoff.T  # (M, m)
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    qp = QP(
+        P=jnp.broadcast_to(jnp.asarray(H, dtype), (Mpts, N, N)),
+        q=jnp.asarray(qs, dtype),
+        A=jnp.broadcast_to(jnp.asarray(Acon, dtype), (Mpts,) + Acon.shape),
+        l=jnp.full((Mpts, Acon.shape[0]), -1e8, dtype),
+        u=jnp.asarray(us, dtype),
+    )
+    sol = jax.vmap(lambda qp: admm_solve(qp, ADMMConfig(iters=60, phases=3, rho=1.0)))(qp)
+    u_opt = np.asarray(sol.x)
+    r_prim = np.asarray(sol.r_prim)
+
+    feasible = r_prim < 1e-4
+    # V = 1/2 u H u + q.u + x0-dependent constant (stage-0 + condensed terms)
+    x0_cost = np.einsum("mi,ij,mj->m", pts, Q, pts)  # stage-0 cost
+    cross = np.einsum("mi,ij,mj->m", pts, Lam.T @ Qbar @ Lam, pts)
+    V = (
+        0.5 * np.einsum("mn,nk,mk->m", u_opt, H, u_opt)
+        + np.einsum("mn,mn->m", qs, u_opt)
+        + x0_cost
+        + cross
+    )
+    return pts, V, feasible
+
+
+def fit_quadratic_upper_bound(pts: np.ndarray, vals: np.ndarray):
+    """Least-squares quadratic upper bound: min sum (V_hat - V)^2, V_hat >= V.
+
+    Solved as a 6-parameter QP with our ADMM (the reference builds a
+    CasADi Opti NLP, `terminal_ingredients.py:240-273`).
+    theta = (axx, axv, avv, bx, bv, c); V_hat = [x^2, 2xv, v^2, x, v, 1].theta
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ft_mpc_tpu.solvers.admm import QP, ADMMConfig, admm_solve
+
+    x, v = pts[:, 0], pts[:, 1]
+    Phi = np.stack([x * x, 2 * x * v, v * v, x, v, np.ones_like(x)], axis=1)
+    H = 2.0 * Phi.T @ Phi
+    q = -2.0 * Phi.T @ vals
+    # Phi theta >= vals  ->  -Phi theta <= -vals
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    qp = QP(
+        P=jnp.asarray(H, dtype),
+        q=jnp.asarray(q, dtype),
+        A=jnp.asarray(-Phi, dtype),
+        l=jnp.full(Phi.shape[0], -1e8, dtype),
+        u=jnp.asarray(-vals, dtype),
+    )
+    sol = admm_solve(qp, ADMMConfig(iters=150, phases=6, rho=1.0))
+    theta = np.asarray(sol.x, dtype=np.float64)
+    A2 = np.array([[theta[0], theta[1]], [theta[1], theta[2]]])
+    b2 = theta[3:5]
+    c = float(theta[5])
+    # Guard: the fit must actually upper-bound the samples (small tolerance).
+    viol = np.max(Phi @ theta - vals)  # should be >= 0 mostly; check underside
+    under = np.max(vals - Phi @ theta)
+    if under > 1e-3 * max(1.0, np.abs(vals).max()):
+        # inflate c to restore the bound
+        c += float(under)
+        b2 = b2.copy()
+    return A2, b2, c
+
+
+# ----------------------------------------------------------------------------
+# Stage D/E: assembly
+# ----------------------------------------------------------------------------
+
+@dataclass
+class TerminalIngredients:
+    P9: np.ndarray  # (9, 9)
+    p9: np.ndarray  # (9,)
+    c: float
+    term_set: Polytope  # over the 9-d error
+    emax: np.ndarray  # (3,)
+    r_empc: float
+    meta: dict
+
+
+def compute_terminal_ingredients(
+    hull: Polytope,
+    M: np.ndarray,
+    f_virt6: np.ndarray,
+    omega_des: np.ndarray,
+    r: np.ndarray,
+    mass: float,
+    inertia: np.ndarray,
+    dt: float,
+    Q: np.ndarray,
+    R: np.ndarray,
+    k_omega: np.ndarray,
+    max_acceleration: float = 0.0,
+    time_scaling: float = 5.0,
+    empc_horizon: int = 3,
+    grid_step: float = 0.1,
+) -> TerminalIngredients:
+    """Full pipeline for one fault class (mirrors
+    `calculate_terminal_ingredients`, `terminal_ingredients.py:275-374`)."""
+    Q = np.diag(Q) if np.ndim(Q) == 1 else np.asarray(Q)
+    R = np.diag(R) if np.ndim(R) == 1 else np.asarray(R)
+    k_omega = np.asarray(k_omega, dtype=np.float64)
+
+    emax, r_empc = input_bound_box(
+        hull, M, f_virt6, k_omega, omega_des, r, inertia, max_acceleration
+    )
+    uimax = r_empc / np.sqrt(3.0)
+
+    Minv = np.linalg.inv(M)
+    Qu_tilde = Minv.T @ R @ Minv
+    r_in = float(np.max(np.linalg.eigvalsh(Qu_tilde[0:3, 0:3])))
+
+    empc = empc_ingredients(
+        float(Q[0, 0]), float(Q[3, 3]), r_in, dt, time_scaling, uimax
+    )
+    pts, vals, feas = sample_value_function(empc, empc_horizon, grid_step=grid_step)
+    A2, b2, c2 = fit_quadratic_upper_bound(pts[feas], vals[feas])
+
+    # omega Lyapunov cost (reference parity, terminal_ingredients.py:316-321)
+    A_om = np.eye(3) - np.diag(k_omega) * dt
+    Q_om = Q[6:9, 6:9] + 2.0 * np.linalg.norm(Qu_tilde) * np.diag(k_omega) ** 2
+    P_om = la.solve_discrete_lyapunov(A_om, Q_om)
+
+    P9 = np.zeros((9, 9))
+    p9 = np.zeros(9)
+    for i in range(3):
+        P9[i, i] = A2[0, 0]
+        P9[i, 3 + i] = P9[3 + i, i] = A2[0, 1]
+        P9[3 + i, 3 + i] = A2[1, 1]
+        p9[i] = b2[0]
+        p9[3 + i] = b2[1]
+    P9[6:9, 6:9] = P_om
+    c = 3.0 * c2
+
+    # Terminal set: per-axis eMPC domain rows + omega box (calc_terminal_set
+    # block structure, terminal_ingredients.py:396-426).
+    dom = empc.domain
+    nC = dom.num_facets
+    blocks = []
+    for i in range(3):
+        Ai = np.zeros((nC, 9))
+        Ai[:, i] = dom.A[:, 0]
+        Ai[:, 3 + i] = dom.A[:, 1]
+        blocks.append((Ai, dom.b))
+    om_rows = np.zeros((6, 9))
+    om_rows[0, 6] = om_rows[2, 7] = om_rows[4, 8] = 1.0
+    om_rows[1, 6] = om_rows[3, 7] = om_rows[5, 8] = -1.0
+    om_b = np.repeat(emax, 2)
+    A9 = np.vstack([b[0] for b in blocks] + [om_rows])
+    b9 = np.concatenate([b[1] for b in blocks] + [om_b])
+
+    return TerminalIngredients(
+        P9=P9,
+        p9=p9,
+        c=c,
+        term_set=Polytope(A9, b9),
+        emax=emax,
+        r_empc=r_empc,
+        meta={
+            "uimax": uimax,
+            "time_scaling": time_scaling,
+            "empc_horizon": empc_horizon,
+            "n_grid": int(feas.sum()),
+        },
+    )
+
+
+# ----------------------------------------------------------------------------
+# Serialization (data-only)
+# ----------------------------------------------------------------------------
+
+def save_terminal_ingredients(ti: TerminalIngredients, path: str | Path) -> None:
+    np.savez(
+        path,
+        P9=ti.P9,
+        p9=ti.p9,
+        c=ti.c,
+        term_A=ti.term_set.A,
+        term_b=ti.term_set.b,
+        emax=ti.emax,
+        r_empc=ti.r_empc,
+        meta=json.dumps(ti.meta),
+    )
+
+
+def load_terminal_ingredients(path: str | Path) -> TerminalIngredients:
+    z = np.load(path, allow_pickle=False)
+    return TerminalIngredients(
+        P9=z["P9"],
+        p9=z["p9"],
+        c=float(z["c"]),
+        term_set=Polytope(z["term_A"], z["term_b"]),
+        emax=z["emax"],
+        r_empc=float(z["r_empc"]),
+        meta=json.loads(str(z["meta"])),
+    )
+
+
+def cache_key(fault_pattern, tuning: dict) -> str:
+    """Stable key for the per-fault-class cache."""
+    payload = json.dumps(
+        {
+            "faults": sorted((int(f.index), float(f.intensity)) for f in fault_pattern),
+            "tuning": {k: tuning[k] for k in sorted(tuning) if k != "sqp_iters"},
+        },
+        sort_keys=True,
+        default=float,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def main() -> None:
+    """CLI: regenerate the terminal cache for the active config."""
+    import argparse
+
+    from ft_mpc_tpu.api import DEFAULT_TUNING
+    from ft_mpc_tpu.controllers.spiral_params import SpiralParameters
+    from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
+    from ft_mpc_tpu.ops.dynamics import BodyParams
+    from ft_mpc_tpu.utils.config import load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    tuning = {**DEFAULT_TUNING, **cfg.tuning}
+    params = BodyParams.default(cfg.time_step)
+    D = np.asarray(params.D)
+    ff = np.zeros(16)
+    for f in cfg.faults:
+        if f.start_time == 0:
+            ff[f.index] = f.intensity * float(params.max_thrust)
+    broken = (ff > 0).astype(float)
+    sp = SpiralParameters.compute(float(params.mass), np.asarray(params.inertia), D @ ff)
+    hull = attainable_wrench_polytope(D, float(params.max_thrust), broken, ff / 3.4)
+
+    ti = compute_terminal_ingredients(
+        hull=hull,
+        M=sp.M,
+        f_virt6=np.concatenate([sp.f_virt, np.zeros(3)]),
+        omega_des=sp.omega_des,
+        r=sp.r,
+        mass=float(params.mass),
+        inertia=np.asarray(params.inertia),
+        dt=cfg.time_step,
+        Q=np.asarray(tuning["Q"], dtype=np.float64),
+        R=np.asarray(tuning["R"], dtype=np.float64),
+        k_omega=tuning["k_omega"],
+        max_acceleration=float(tuning.get("max_acceleration", 0.0)),
+        time_scaling=float(tuning.get("time_scaling", 5)),
+        empc_horizon=int(tuning.get("empc_horizon", 3)),
+    )
+    out = args.out or str(
+        Path(__file__).parent.parent / "config" / f"terminal_{cache_key(cfg.faults, tuning)}.npz"
+    )
+    save_terminal_ingredients(ti, out)
+    print(f"terminal ingredients written to {out}")
+    print(f"  emax={ti.emax}, r_empc={ti.r_empc:.4f}")
+    print(f"  P9 diag: {np.round(np.diag(ti.P9), 3)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Run configuration: reactive.yaml-compatible schema + dataclass view.
+
+The reference drives everything from `ft_mpc/config/reactive.yaml`
+(`examples/sim.py:16`, schema documented in SURVEY.md section 5): mode,
+time_step, traj_shape, traj_duration, actuator_failures list, and a tuning
+tree `tuning.<controller>.<param_set>` with Q/R/k_omega/max_acceleration/
+time_scaling/empc_horizon.  This module loads that exact schema (a reference
+user's YAML works unchanged) plus framework extras under `tpu:` (batching,
+solver iterations, noise mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import yaml
+
+from ft_mpc_tpu.utils.faults import BrokenThruster
+
+DEFAULT_CONFIG_PATH = Path(__file__).parent.parent / "config" / "reactive.yaml"
+
+
+@dataclass
+class RunConfig:
+    time_step: float = 0.1
+    traj_shape: str = "hover"
+    traj_duration: float = 30.0
+    mode: str = "reactive"
+    faults: list = field(default_factory=list)  # BrokenThruster entries
+    tuning: dict = field(default_factory=dict)  # active param set (spiraling)
+    # TPU-framework extras
+    batch: int = 1
+    noise_mode: str = "reference"
+    seed: int = 0
+
+    @property
+    def steps(self) -> int:
+        return int(self.traj_duration / self.time_step)
+
+
+def load_config(path: str | Path | None = None) -> RunConfig:
+    """Parse a reactive.yaml-style file into a RunConfig."""
+    path = DEFAULT_CONFIG_PATH if path is None else Path(path)
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+
+    faults = [
+        BrokenThruster(
+            index=int(f["act_id"]),
+            intensity=float(f["intensity"]),
+            start_time=float(f.get("start_time", 0.0)),
+        )
+        for f in raw.get("actuator_failures", [])
+    ]
+
+    tuning = {}
+    spir = raw.get("tuning", {}).get("spiraling", {})
+    if spir:
+        pset = spir.get(spir.get("param_set", "P1"), {})
+        tuning = {
+            "horizon": spir.get("horizon", 15),
+            "Q": pset.get("Q", [1, 1, 1, 1, 1, 1, 2, 2, 2]),
+            "R": pset.get("R", [0.1, 0.1, 0.1, 0.01, 0.01, 0.01]),
+            "k_omega": pset.get("k_omega", [1.0, 1.0, 1.0]),
+            "max_acceleration": pset.get("max_acceleration", 0.0),
+            "time_scaling": pset.get("time_scaling", 5),
+            "empc_horizon": pset.get("empc_horizon", 3),
+        }
+
+    tpu = raw.get("tpu", {})
+    return RunConfig(
+        time_step=float(raw.get("time_step", 0.1)),
+        traj_shape=raw.get("traj_shape", "hover"),
+        traj_duration=float(raw.get("traj_duration", 30)),
+        mode=raw.get("mode", "reactive"),
+        faults=faults,
+        tuning=tuning,
+        batch=int(tpu.get("batch", 1)),
+        noise_mode=tpu.get("noise_mode", "reference"),
+        seed=int(tpu.get("seed", 0)),
+    )

@@ -1,0 +1,9 @@
+"""Host-side visualization: 3D animation and diagnostic dashboards."""
+
+from ft_mpc_tpu.viz.animate import animate_rollout, thruster_geometry  # noqa: F401
+from ft_mpc_tpu.viz.dashboards import (  # noqa: F401
+    show_direct_inputs,
+    show_generalized_inputs,
+    show_orbit_errors,
+    show_robot_errors,
+)
