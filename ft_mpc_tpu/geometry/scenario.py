@@ -93,6 +93,7 @@ def build_scenario(
     omega_des=(0.0, 0.0, 0.6),
     r_dir=(0.0, 1.0, 0.0),
     f_virt_mag: float = 3.5,
+    precomputed_hull: tuple | None = None,
 ) -> Scenario:
     """Compile one fault pattern into device tensors (host-side, runs once)."""
     D = np.asarray(params.D)
@@ -108,8 +109,11 @@ def build_scenario(
     faulty_force_gen = D @ faulty_force
     u_ub = np.where(broken > 0.5, 0.0, max_thrust)
 
-    hull = attainable_wrench_polytope(D, max_thrust, broken, intensity)
-    hull_A, hull_b, hull_mask = hull.as_padded(max_hull_facets)
+    if precomputed_hull is not None:
+        hull_A, hull_b, hull_mask = precomputed_hull
+    else:
+        hull = attainable_wrench_polytope(D, max_thrust, broken, intensity)
+        hull_A, hull_b, hull_mask = hull.as_padded(max_hull_facets)
 
     sp = SpiralParameters.compute(
         mass, inertia, faulty_force_gen, omega_des, r_dir, f_virt_mag
@@ -162,9 +166,34 @@ def stack_scenarios(scenarios: Sequence[Scenario]) -> ScenarioBank:
 def build_scenario_bank(
     params: BodyParams,
     fault_patterns: Sequence[Sequence[BrokenThruster]],
+    max_hull_facets: int = MAX_HULL_FACETS,
     **kwargs,
 ) -> ScenarioBank:
-    """Build a bank from a list of fault patterns (host-side)."""
+    """Build a bank from a list of fault patterns (host-side).
+
+    The per-pattern wrench hulls are computed in one threaded native call
+    (`ft_mpc_tpu.runtime.batched_wrench_hulls`, C++), falling back to the
+    numpy path automatically.
+    """
+    from ft_mpc_tpu.runtime import batched_wrench_hulls
+
+    B = len(fault_patterns)
+    broken = np.zeros((B, N_THRUSTERS))
+    intensity = np.zeros((B, N_THRUSTERS))
+    for s, faults in enumerate(fault_patterns):
+        for f in faults:
+            broken[s, f.index] = 1.0
+            intensity[s, f.index] = f.intensity
+    A, b, mask = batched_wrench_hulls(
+        np.asarray(params.D), float(params.max_thrust), broken, intensity,
+        max_facets=max_hull_facets,
+    )
     return stack_scenarios(
-        [build_scenario(params, faults, **kwargs) for faults in fault_patterns]
+        [
+            build_scenario(
+                params, faults, max_hull_facets=max_hull_facets,
+                precomputed_hull=(A[s], b[s], mask[s]), **kwargs
+            )
+            for s, faults in enumerate(fault_patterns)
+        ]
     )
