@@ -44,6 +44,11 @@ from ft_mpc_tpu.solvers.mpc_qp import (
     StructuredMPCQP,
     solve_mpc_qp,
 )
+from ft_mpc_tpu.solvers.mpc_qp_stagewise import (
+    StagewiseConfig,
+    StagewiseMPCQP,
+    solve_mpc_qp_stagewise,
+)
 
 _BIG = 1e8
 N_X = 13
@@ -57,6 +62,11 @@ class MPCConfig(NamedTuple):
     horizon: int = 15
     sqp_iters: int = 3
     admm: StructuredADMMConfig = StructuredADMMConfig(iters=30, phases=1, rho=50.0)
+    # QP backend: 'condensed' (dense, states eliminated -- best for short
+    # horizons) or 'stagewise' (Riccati-in-ADMM banded KKT -- O(Nt) or
+    # O(log Nt) per iteration, for long horizons).
+    qp_backend: str = "condensed"
+    stagewise: StagewiseConfig = StagewiseConfig()
     # Proximal (Levenberg-style) damping added to the QP Hessian diagonal.
     # delta_U = 0 stays optimal at a KKT point, so fixed points are unchanged.
     prox: float = 0.0
@@ -214,45 +224,88 @@ def sqp_solve(
         )
         defects = f_vals - X[1:]
 
-        # --- 2. condense -------------------------------------------------
-        S_all, phi_all = _condense(A_stack, B_stack, defects, Nt)
-        S9 = S_all[:, :N_OPT, :]  # (Nt, 9, n_dec)
-        e0 = X[1:, :N_OPT] + phi_all[:, :N_OPT] - x_ref[1:]  # (Nt, 9)
-
-        # --- 3. quadratic objective in delta_U ---------------------------
-        # Running cost stages t = 1..Nt-1; terminal at Nt.
-        S9_run, e0_run = S9[:-1], e0[:-1]
-        S9_N, e0_N = S9[-1], e0[-1]
-        H = 2.0 * (
-            jnp.einsum("tin,ij,tjm->nm", S9_run, weights.Q, S9_run)
-            + S9_N.T @ scenario.term.P @ S9_N
-            + R_blk
-            + cfg.prox * jnp.eye(n_dec, dtype=dtype)
-        )
-        g = 2.0 * (
-            jnp.einsum("tin,ij,tj->n", S9_run, weights.Q, e0_run)
-            + S9_N.T @ (scenario.term.P @ e0_N)
-            + R_blk @ U.reshape(-1)
-        ) + S9_N.T @ scenario.term.p
-
-        # --- 4. inequality rows ------------------------------------------
-        # Input-hull rows per stage (RTI: nominal-input rotation frozen).
+        # Input-hull offsets (RTI: nominal-input rotation frozen).
         u_r_bar = jnp.einsum(
             "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
         )
         stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
         h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
-        # Terminal-set rows couple to delta_U through S9_N.
-        G_term = term_A @ S9_N
-        h_term = term_b - term_A @ e0_N
 
-        # --- 5. QP solve (structure-exploiting ADMM) ----------------------
-        qp = StructuredMPCQP(
-            H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
-        )
-        sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho)
-        dU = sol.x.reshape(Nt, N_U)
-        dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
+        if cfg.qp_backend == "condensed":
+            # --- condense, assemble the dense QP, structured ADMM ---------
+            S_all, phi_all = _condense(A_stack, B_stack, defects, Nt)
+            S9 = S_all[:, :N_OPT, :]  # (Nt, 9, n_dec)
+            e0 = X[1:, :N_OPT] + phi_all[:, :N_OPT] - x_ref[1:]  # (Nt, 9)
+
+            # Running cost stages t = 1..Nt-1; terminal at Nt.
+            S9_run, e0_run = S9[:-1], e0[:-1]
+            S9_N, e0_N = S9[-1], e0[-1]
+            H = 2.0 * (
+                jnp.einsum("tin,ij,tjm->nm", S9_run, weights.Q, S9_run)
+                + S9_N.T @ scenario.term.P @ S9_N
+                + R_blk
+                + cfg.prox * jnp.eye(n_dec, dtype=dtype)
+            )
+            g = 2.0 * (
+                jnp.einsum("tin,ij,tj->n", S9_run, weights.Q, e0_run)
+                + S9_N.T @ (scenario.term.P @ e0_N)
+                + R_blk @ U.reshape(-1)
+            ) + S9_N.T @ scenario.term.p
+
+            G_term = term_A @ S9_N
+            h_term = term_b - term_A @ e0_N
+
+            qp = StructuredMPCQP(
+                H=H, g=g, hull_A=hull_A, h_hull=h_hull,
+                G_term=G_term, h_term=h_term,
+            )
+            sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho)
+            dU = sol.x.reshape(Nt, N_U)
+            dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
+            rho_new = sol.rho
+            du_raw = jnp.max(jnp.abs(sol.x))
+        elif cfg.qp_backend == "stagewise":
+            # --- banded KKT via Riccati-in-ADMM (no condensing) -----------
+            Q13 = jnp.zeros((N_X, N_X), dtype).at[:N_OPT, :N_OPT].set(weights.Q)
+            e_bar = X[:, :N_OPT] - x_ref  # (Nt+1, 9)
+            gx = jnp.zeros((Nt + 1, N_X), dtype)
+            gx = gx.at[:, :N_OPT].set(e_bar @ weights.Q)
+            # terminal linear term: P e_N + p/2 (so that 2*gxN = 2P e + p)
+            gx = gx.at[-1, :N_OPT].set(
+                scenario.term.P @ e_bar[-1] + 0.5 * scenario.term.p
+            )
+            QN13 = (
+                jnp.zeros((N_X, N_X), dtype)
+                .at[:N_OPT, :N_OPT]
+                .set(scenario.term.P)
+            )
+            T13 = jnp.zeros((term_A.shape[0], N_X), dtype).at[:, :N_OPT].set(term_A)
+            h_term = term_b - term_A @ e_bar[-1]
+
+            sqp_qp = StagewiseMPCQP(
+                A=A_stack,
+                B=B_stack,
+                c=defects,
+                Qx=Q13,
+                gx=gx,
+                Ru=weights.R,
+                gu=U @ weights.R,
+                QxN=QN13,
+                hull_A=hull_A,
+                h_hull=h_hull,
+                T=T13,
+                h_term=h_term,
+            )
+            ssol = solve_mpc_qp_stagewise(
+                sqp_qp, cfg.stagewise, y_hull0=yh, y_term0=yt
+            )
+            dU = ssol.dU
+            dX = ssol.dX[1:]
+            sol = ssol  # for residual reporting below
+            rho_new = rho
+            du_raw = jnp.max(jnp.abs(dU))
+        else:
+            raise ValueError(f"unknown qp_backend {cfg.qp_backend}")
 
         # --- 6. merit line search over fixed step candidates --------------
         def merit(alpha):
@@ -290,9 +343,9 @@ def sqp_solve(
             sol.r_prim,
             sol.r_dual,
             jnp.max(jnp.abs(defects)),
-            alpha * jnp.max(jnp.abs(sol.x)),
+            alpha * du_raw,
         )
-        return (X_new, U_new, sol.y_hull, sol.y_term, sol.rho), info
+        return (X_new, U_new, sol.y_hull, sol.y_term, rho_new), info
 
     warm = warm._replace(X=warm.X.at[0].set(c0))
     (X, U, y_hull, y_term, rho), infos = jax.lax.scan(

@@ -1,0 +1,157 @@
+"""Stagewise (banded-KKT) ADMM for the MPC subproblem: long-horizon backend.
+
+The condensed backend (`solvers/mpc_qp.py`) eliminates states; its
+factorization is O((Nt nu)^3) and its prediction matrices O(Nt^2) -- the
+right trade at the reference's Nt = 15.  This backend keeps states as
+variables and hard-codes the dynamics into every ADMM x-update as an LQR
+solve via Riccati recursion (`solvers/riccati.py`): per-iteration cost is
+O(Nt) sequential or O(log Nt) with the associative scan, and nothing
+quadratic in the horizon is ever materialized.  This is the
+"parallel-in-horizon" answer to long-horizon MPC (the workload's analogue of
+sequence parallelism; SURVEY.md section 5).
+
+Splitting:  min  J(dx, du)   s.t.  dynamics (hard, inside the LQR),
+            z_h = hull_A du_t <= h_hull,   z_T = T dx_N[0:9] <= h_term.
+
+x-update = LQR with per-stage costs augmented by sigma-prox and rho-penalty
+terms; z/y updates are the usual clipped ADMM steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ft_mpc_tpu.solvers.riccati import LQRProblem, lqr_solve
+
+
+class StagewiseMPCQP(NamedTuple):
+    """Stagewise QP data in delta variables around the SQP linearization.
+
+    Objective (matching the condensed assembly in `controllers/spiraling`):
+        sum_{t=1..Nt-1} dx_t' Qx dx_t + 2 gx_t' dx_t
+      + sum_{t=0..Nt-1} du_t' Ru du_t + 2 gu_t' du_t
+      + dx_N' QxN dx_N + gxN' dx_N
+    s.t. dx_{t+1} = A_t dx_t + B_t du_t + c_t,  dx_0 = 0,
+         hull_A du_t <= h_hull_t,   T dx_N <= h_term.
+    """
+
+    A: jnp.ndarray  # (Nt, n, n)
+    B: jnp.ndarray  # (Nt, n, m)
+    c: jnp.ndarray  # (Nt, n) defects
+    Qx: jnp.ndarray  # (n, n) stage state cost (embedded 9-d)
+    gx: jnp.ndarray  # (Nt+1, n) linear state terms (index 0 unused)
+    Ru: jnp.ndarray  # (m, m)
+    gu: jnp.ndarray  # (Nt, m)
+    QxN: jnp.ndarray  # (n, n)
+    hull_A: jnp.ndarray  # (F, m)
+    h_hull: jnp.ndarray  # (Nt, F)
+    T: jnp.ndarray  # (Tm, n) terminal rows (masked rows zeroed, n-embedded)
+    h_term: jnp.ndarray  # (Tm,)
+
+
+class StagewiseConfig(NamedTuple):
+    iters: int = 40
+    rho: float = 50.0
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    mode: str = "scan"  # riccati backend: 'scan' | 'assoc'
+
+
+class StagewiseSolution(NamedTuple):
+    dX: jnp.ndarray  # (Nt+1, n)
+    dU: jnp.ndarray  # (Nt, m)
+    y_hull: jnp.ndarray
+    y_term: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_mpc_qp_stagewise(
+    qp: StagewiseMPCQP,
+    cfg: StagewiseConfig = StagewiseConfig(),
+    y_hull0: jnp.ndarray | None = None,
+    y_term0: jnp.ndarray | None = None,
+) -> StagewiseSolution:
+    Nt, n, m = qp.B.shape
+    F = qp.hull_A.shape[0]
+    dtype = qp.A.dtype
+    rho = jnp.asarray(cfg.rho, dtype)
+
+    AhTAh = qp.hull_A.T @ qp.hull_A
+    TtT = qp.T.T @ qp.T
+
+    # Constant LQR cost blocks (sigma-prox terms added per iteration).
+    Q_stage = 2.0 * qp.Qx + cfg.sigma * jnp.eye(n, dtype=dtype)
+    R_stage = (
+        2.0 * qp.Ru + cfg.sigma * jnp.eye(m, dtype=dtype) + rho * AhTAh
+    )
+    QN = 2.0 * qp.QxN + cfg.sigma * jnp.eye(n, dtype=dtype) + rho * TtT
+
+    zeros_x = jnp.zeros(n, dtype)
+
+    def x_update(dX, dU, zh, zt, yh, yt):
+        # LQR linear terms: from the objective, the prox, and the penalties.
+        vh = zh - yh / rho  # (Nt, F)
+        vt = zt - yt / rho  # (Tm,)
+        r_lin = (
+            2.0 * qp.gu
+            - cfg.sigma * dU
+            - rho * (vh @ qp.hull_A)
+        )
+        q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:]
+        qN_lin = q_lin[-1] - rho * (qp.T.T @ vt)
+        prob = LQRProblem(
+            A=qp.A,
+            B=qp.B,
+            c=qp.c,
+            Q=jnp.broadcast_to(Q_stage, (Nt, n, n)),
+            q=jnp.concatenate([zeros_x[None], q_lin[:-1]], axis=0),
+            R=jnp.broadcast_to(R_stage, (Nt, m, m)),
+            r=r_lin,
+            QN=QN,
+            qN=qN_lin,
+            x0=zeros_x,
+        )
+        sol = lqr_solve(prob, mode=cfg.mode)
+        return sol.X, sol.U
+
+    def Gx(dX, dU):
+        return dU @ qp.hull_A.T, qp.T @ dX[-1]
+
+    dX = jnp.zeros((Nt + 1, n), dtype)
+    dU = jnp.zeros((Nt, m), dtype)
+    yh = jnp.zeros((Nt, F), dtype) if y_hull0 is None else y_hull0
+    yt = jnp.zeros(qp.h_term.shape, dtype) if y_term0 is None else y_term0
+    zh = jnp.minimum(jnp.zeros((Nt, F), dtype), qp.h_hull)
+    zt = jnp.minimum(qp.T @ dX[-1], qp.h_term)
+
+    def body(_, st):
+        dX, dU, zh, zt, yh, yt = st
+        dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt)
+        dX_new = cfg.alpha * dX_t + (1 - cfg.alpha) * dX
+        dU_new = cfg.alpha * dU_t + (1 - cfg.alpha) * dU
+        Gh_t, Gt_t = Gx(dX_t, dU_t)
+        zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
+        zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
+        zh_new = jnp.minimum(zh_hat + yh / rho, qp.h_hull)
+        zt_new = jnp.minimum(zt_hat + yt / rho, qp.h_term)
+        yh_new = yh + rho * (zh_hat - zh_new)
+        yt_new = yt + rho * (zt_hat - zt_new)
+        return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
+
+    dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
+        0, cfg.iters, body, (dX, dU, zh, zt, yh, yt)
+    )
+
+    Gh, Gt = Gx(dX, dU)
+    r_prim = jnp.maximum(jnp.max(jnp.abs(Gh - zh)), jnp.max(jnp.abs(Gt - zt)))
+    # dual residual on the u-block (diagnostic)
+    r_dual = jnp.max(jnp.abs(2.0 * (dU @ qp.Ru) + 2.0 * qp.gu + yh @ qp.hull_A))
+    return StagewiseSolution(
+        dX=dX, dU=dU, y_hull=yh, y_term=yt, r_prim=r_prim, r_dual=r_dual
+    )

@@ -1,0 +1,80 @@
+"""Stagewise (Riccati-in-ADMM) QP backend vs the condensed backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
+from ft_mpc_tpu.controllers.spiraling import (
+    MPCConfig,
+    MPCWeights,
+    init_warmstart,
+    sqp_solve,
+)
+from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
+from ft_mpc_tpu.sim.env import SimConfig, rollout
+from ft_mpc_tpu.solvers.mpc_qp_stagewise import StagewiseConfig
+from ft_mpc_tpu.utils.faults import BrokenThruster
+from ft_mpc_tpu.utils.trajectory import generate_trajectory, prepare_center_trajectory
+
+DT = 0.1
+FAULTS = [BrokenThruster(10, 1.0), BrokenThruster(11, 1.0)]
+
+
+def setup(horizon):
+    params = BodyParams.default(DT)
+    sc = _build_scenario_with_terminal(params, FAULTS, DEFAULT_TUNING)
+    weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    traj = generate_trajectory("hover", DT, 30)
+    x_ref, u_ref = prepare_center_trajectory(
+        traj, np.asarray(sc.omega_des), 16.8, DT, horizon + 1
+    )
+    x0 = np.zeros(13)
+    x0[0:3] = [0.5, 0.2, -0.3]
+    x0[9] = 1.0
+    x0[10:13] = [0, 0, 0.4]
+    return params, sc, weights, jnp.asarray(x_ref), jnp.asarray(u_ref), x0
+
+
+def test_stagewise_matches_condensed_open_loop():
+    params, sc, weights, x_ref, u_ref, x0 = setup(15)
+    c0 = robot_to_center(sc.r, jnp.asarray(x0))
+    base = dict(horizon=15, sqp_iters=4)
+    cfg_c = MPCConfig(**base)
+    cfg_s = MPCConfig(
+        **base, qp_backend="stagewise",
+        stagewise=StagewiseConfig(iters=60, rho=50.0),
+    )
+    warm_c = init_warmstart(params, sc, cfg_c, c0)
+    out_c, info_c = sqp_solve(
+        params, sc, weights, cfg_c, c0, x_ref[:16], u_ref[:16], warm_c
+    )
+    out_s, info_s = sqp_solve(
+        params, sc, weights, cfg_s, c0, x_ref[:16], u_ref[:16], warm_c
+    )
+    # Same nonconvex problem, same warm start -> same local solution.
+    np.testing.assert_allclose(
+        np.asarray(out_s.U), np.asarray(out_c.U), atol=5e-3
+    )
+    assert float(info_s.cost) <= float(info_c.cost) * 1.02 + 1e-6
+
+
+def test_stagewise_long_horizon_closed_loop():
+    """Nt = 60: the condensed path would build (360, 360) dense systems;
+    the stagewise path stays banded and tracks the hover reference."""
+    params, sc, weights, x_ref, u_ref, x0 = setup(60)
+    cfg = MPCConfig(
+        horizon=60, sqp_iters=2, qp_backend="stagewise",
+        stagewise=StagewiseConfig(iters=40, rho=50.0),
+    )
+    sim_cfg = SimConfig(steps=40, noise_mode="none")
+    hist = rollout(
+        params, sc, weights, cfg, sim_cfg,
+        jnp.asarray(x0), x_ref, u_ref, jax.random.key(0),
+    )
+    assert not bool(jnp.any(jnp.isnan(hist.state)))
+    err0 = np.linalg.norm(np.asarray(hist.c0[0, 0:3] - hist.x_ref0[0, 0:3]))
+    errN = np.linalg.norm(np.asarray(hist.c0[-1, 0:3] - hist.x_ref0[-1, 0:3]))
+    assert errN < err0  # converging
+    u = np.asarray(hist.u_phys)
+    assert np.abs(u[:, 10:12]).max() < 1e-6  # fault respected
