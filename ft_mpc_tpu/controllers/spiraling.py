@@ -415,6 +415,10 @@ def get_control(
         scenario.hull_A,
         scenario.hull_b,
         scenario.hull_mask,
+        gen_G=scenario.gen_G,
+        gen_c=scenario.gen_c,
+        gen_L=scenario.gen_L,
+        max_thrust=params.max_thrust,
     )
     return ControlOutput(
         u_phys=alloc.u_phys,

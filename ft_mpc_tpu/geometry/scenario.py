@@ -66,6 +66,12 @@ class Scenario(NamedTuple):
     u_comp: jnp.ndarray  # (6,) compensation input
     beta: jnp.ndarray  # (4,) force-aligned frame quaternion (xyzw)
     M: jnp.ndarray  # (6, 6) wrench -> center acceleration
+    # Generator-space view of the attainable set (zonotope): total wrench =
+    # gen_c + gen_G theta, theta in [0,1]^16 (broken columns zeroed).  Used
+    # for the exact FISTA wrench projection and fallback allocation.
+    gen_G: jnp.ndarray  # (6, 16)
+    gen_c: jnp.ndarray  # (6,)
+    gen_L: jnp.ndarray  # scalar ||gen_G||_2^2 (Lipschitz constant)
     # Terminal ingredients.
     term: TerminalQuadratic
     term_A: jnp.ndarray  # (T, 9)
@@ -119,6 +125,9 @@ def build_scenario(
         mass, inertia, faulty_force_gen, omega_des, r_dir, f_virt_mag
     )
 
+    gen_G = D * max_thrust * (broken < 0.5)[None, :]
+    gen_L = max(float(np.linalg.norm(gen_G, 2) ** 2), 1e-9)
+
     if terminal is None:
         # Placeholder P = 0; callers normally pass a DARE/pipeline-based cost.
         terminal = TerminalQuadratic(
@@ -150,6 +159,9 @@ def build_scenario(
         u_comp=as_f(sp.compensation_force),
         beta=as_f(sp.beta),
         M=as_f(sp.M),
+        gen_G=as_f(gen_G),
+        gen_c=as_f(faulty_force_gen),
+        gen_L=as_f(gen_L),
         term=terminal,
         term_A=as_f(term_A),
         term_b=as_f(term_b),

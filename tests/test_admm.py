@@ -131,13 +131,15 @@ def test_clip_wrench_projects_infeasible():
     params = BodyParams.default(0.1)
     sc = build_scenario(params, [])
     big = jnp.asarray([20.0, 0, 0, 0, 0, 0])  # outside attainable set (max Fx = 13.6)
-    w, clipped = clip_wrench(big, sc.hull_A, sc.hull_b, sc.hull_mask)
+    w, clipped = clip_wrench(big, sc.hull_A, sc.hull_b, sc.hull_mask,
+                             gen_G=sc.gen_G, gen_c=sc.gen_c, gen_L=sc.gen_L)
     assert bool(clipped)
     A = np.asarray(sc.hull_A) * np.asarray(sc.hull_mask)[:, None]
     b = np.where(np.asarray(sc.hull_mask) > 0.5, np.asarray(sc.hull_b), 1e8)
     assert np.max(A @ np.asarray(w) - b) < 1e-4
     # feasible wrench passes through untouched
     small = jnp.asarray([0.1, 0.1, 0.1, 0.0, 0.0, 0.0])
-    w2, clipped2 = clip_wrench(small, sc.hull_A, sc.hull_b, sc.hull_mask)
+    w2, clipped2 = clip_wrench(small, sc.hull_A, sc.hull_b, sc.hull_mask,
+                               gen_G=sc.gen_G, gen_c=sc.gen_c, gen_L=sc.gen_L)
     assert not bool(clipped2)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(small), atol=1e-12)
