@@ -1,0 +1,125 @@
+"""Multi-device scaling-efficiency benchmark (scenario-sharded batches).
+
+On a TPU pod slice this measures the BASELINE.md target "scaling efficiency
+at 2+ hosts": weak scaling of batched MPC control steps with the scenario
+axis sharded over the mesh (`ft_mpc_tpu.parallel`).  Scenarios are
+embarrassingly parallel -- cross-chip traffic is one scalar psum per step --
+so efficiency should be near 1.0; this harness exists to *verify* that on
+real hardware and catch regressions (e.g. accidental resharding).
+
+Run:  python benchmarks/scaling.py [--devices 1 2 4 8] [--per-device 256]
+
+On a single-chip or CPU environment it exercises the same shard_map path on
+however many (virtual) devices exist; virtual CPU devices share host cores,
+so those numbers validate correctness of the scaling path, not speedup.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(n_devices: int, per_device: int, horizon: int = 15, reps: int = 5):
+    from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
+    from ft_mpc_tpu.controllers.spiraling import (
+        MPCConfig,
+        MPCWeights,
+        init_warmstart,
+    )
+    from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
+    from ft_mpc_tpu.parallel.mesh import (
+        make_scenario_mesh,
+        shard_scenario_batch,
+        sharded_control_step,
+    )
+    from ft_mpc_tpu.utils.faults import BrokenThruster
+    from ft_mpc_tpu.utils.trajectory import (
+        generate_trajectory,
+        prepare_center_trajectory,
+    )
+
+    devices = jax.devices()[:n_devices]
+    mesh = make_scenario_mesh(devices)
+    B = per_device * n_devices
+
+    dt = 0.1
+    params = BodyParams.default(dt)
+    uniq = [
+        _build_scenario_with_terminal(params, f, DEFAULT_TUNING)
+        for f in [[], [BrokenThruster(10, 1.0), BrokenThruster(11, 1.0)]]
+    ]
+    bank = jax.tree.map(lambda *xs: np.stack(xs), *uniq)
+    bank = jax.tree.map(lambda x: np.tile(x, (B // 2,) + (1,) * (x.ndim - 1)), bank)
+
+    weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    cfg = MPCConfig(horizon=horizon)
+
+    traj = generate_trajectory("hover", dt, 5)
+    x_ref, u_ref = prepare_center_trajectory(
+        traj, np.array([0, 0, 0.6]), 16.8, dt, horizon + 1
+    )
+    x_ref = jnp.asarray(x_ref[: horizon + 1], jnp.float32)
+    u_ref = jnp.asarray(u_ref[: horizon + 1], jnp.float32)
+
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((B, 13), np.float32)
+    x0[:, 9] = 1.0
+    x0[:, 0:3] = rng.uniform(-1, 1, (B, 3))
+
+    scenarios = shard_scenario_batch(mesh, bank)
+    x0 = shard_scenario_batch(mesh, jnp.asarray(x0))
+    warm = jax.jit(
+        jax.vmap(lambda sc, x: init_warmstart(params, sc, cfg, robot_to_center(sc.r, x)))
+    )(scenarios, x0)
+
+    out, metrics = sharded_control_step(
+        mesh, params, scenarios, weights, cfg, x0, x_ref, u_ref, warm
+    )
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    w = warm
+    for i in range(reps):
+        out, metrics = sharded_control_step(
+            mesh, params, scenarios, weights, cfg, x0 + 1e-4 * (i + 1), x_ref,
+            u_ref, w,
+        )
+        w = out.warm
+    jax.block_until_ready(metrics)
+    elapsed = (time.perf_counter() - t0) / reps
+    return B / elapsed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--per-device", type=int, default=256)
+    args = ap.parse_args()
+
+    avail = len(jax.devices())
+    counts = args.devices or sorted(
+        {d for d in (1, 2, 4, 8) if d <= avail} | {avail}
+    )
+    results = {}
+    base = None
+    for n in counts:
+        sps = run(n, args.per_device)
+        if base is None:
+            base = sps
+        eff = sps / (base * n / counts[0])
+        results[n] = {"solves_per_s": round(sps, 1), "efficiency": round(eff, 3)}
+        print(
+            f"{n} device(s): {sps:10.1f} solves/s   weak-scaling efficiency "
+            f"{eff:.2%}"
+        )
+    print(json.dumps({"scaling": results, "platform": jax.default_backend()}))
+
+
+if __name__ == "__main__":
+    main()

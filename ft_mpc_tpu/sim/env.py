@@ -139,6 +139,79 @@ def rollout(
     return RolloutHistory(*recs)
 
 
+@partial(jax.jit, static_argnames=("mpc_cfg", "sim_cfg"))
+def rollout_with_fault_schedule(
+    params: BodyParams,
+    scenario_schedule: Scenario,  # leading axis S: scenario per phase
+    switch_steps: jnp.ndarray,  # (S,) step at which each scenario activates
+    weights: MPCWeights,
+    mpc_cfg: MPCConfig,
+    sim_cfg: SimConfig,
+    x_init: jnp.ndarray,
+    x_ref_full: jnp.ndarray,
+    u_ref_full: jnp.ndarray,
+    key: jnp.ndarray,
+) -> RolloutHistory:
+    """Closed loop with mid-trajectory fault injection.
+
+    The reference stubs runtime faults (`examples/sim.py:25-27` warns and
+    skips; `sim_env.py:67-75` calls a `set_fault` the controllers lack).
+    Here faults are scenario *data*, so switching is a time-indexed gather
+    from a schedule of precompiled scenarios: at step i the active scenario
+    is the last entry of `scenario_schedule` whose switch step is <= i.
+    Model, constraint geometry, compensation input, and terminal
+    ingredients all reshape at once -- inside the jitted scan.
+    """
+    Nt = mpc_cfg.horizon
+    dtype = x_ref_full.dtype
+    x_init = x_init.astype(dtype)
+
+    def active_scenario(i):
+        idx = jnp.sum(switch_steps <= i) - 1
+        idx = jnp.clip(idx, 0, switch_steps.shape[0] - 1)
+        return jax.tree.map(lambda leaf: leaf[idx], scenario_schedule)
+
+    sc0 = active_scenario(jnp.asarray(0))
+    c_init = robot_to_center(sc0.r, x_init)
+    warm0 = init_warmstart(params, sc0, mpc_cfg, c_init)
+
+    def step(carry, i):
+        state, warm, key = carry
+        key, sub = jax.random.split(key)
+        sc = active_scenario(i)
+
+        x_ref = jax.lax.dynamic_slice(x_ref_full, (i, 0), (Nt + 1, 9))
+        u_ref = jax.lax.dynamic_slice(u_ref_full, (i, 0), (Nt + 1, 6))
+
+        out = get_control(params, sc, weights, mpc_cfg, state, x_ref, u_ref, warm)
+
+        x_new = robot_step(params, sc.fault, state, out.u_phys)
+        x_new = x_new + _noise_vector(sim_cfg, sub, dtype)
+        x_new = x_new.at[6:10].set(quat_normalize(x_new[6:10]))
+
+        warm_next = shift_warmstart(out.warm, robot_to_center(sc.r, x_new))
+
+        rec = (
+            i.astype(dtype) * params.dt,
+            state,
+            out.c0,
+            out.u_phys,
+            out.wrench,
+            x_ref[0],
+            out.info.cost,
+            out.info.r_prim,
+            out.info.r_dual,
+            out.info.defect,
+            out.alloc.was_clipped,
+        )
+        return (x_new, warm_next, key), rec
+
+    (_, _, _), recs = jax.lax.scan(
+        step, (x_init, warm0, key), jnp.arange(sim_cfg.steps)
+    )
+    return RolloutHistory(*recs)
+
+
 def batched_rollout(
     params: BodyParams,
     scenarios: Scenario,  # leading scenario axis on every leaf

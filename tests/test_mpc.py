@@ -140,3 +140,30 @@ def test_api_runtime_fault_injection():
     u_after = ctrl.get_control(x0, DT)
     assert np.isfinite(u_after).all()
     assert abs(u_after[10]) < 1e-9  # failed thruster no longer commanded
+
+
+def test_mid_trajectory_fault_switch(setup):
+    """Fault injected at step 15 mid-rollout: the controller reshapes inside
+    the jitted scan (the feature the reference stubs at sim.py:25-27)."""
+    from ft_mpc_tpu.sim.env import rollout_with_fault_schedule
+
+    params, _, weights, cfg, x_ref, u_ref = setup
+    healthy = _build_scenario_with_terminal(params, [], DEFAULT_TUNING)
+    faulted = _build_scenario_with_terminal(params, FAULTS, DEFAULT_TUNING)
+    schedule = jax.tree.map(lambda *xs: jnp.stack(xs), healthy, faulted)
+    switch = jnp.asarray([0, 15])
+
+    sim_cfg = SimConfig(steps=40, noise_mode="none")
+    x0 = np.zeros(13)
+    x0[0:3] = [0.3, 0.1, -0.2]
+    x0[9] = 1.0
+    hist = rollout_with_fault_schedule(
+        params, schedule, switch, weights, cfg, sim_cfg,
+        jnp.asarray(x0), x_ref, u_ref, jax.random.key(0),
+    )
+    u = np.asarray(hist.u_phys)
+    assert np.isfinite(np.asarray(hist.state)).all()
+    # healthy phase may command thrusters 10/11...
+    assert u[:15, 10:12].max() > 1e-4
+    # ...the faulted phase must never
+    assert np.abs(u[15:, 10:12]).max() < 1e-6
