@@ -46,7 +46,8 @@ def thruster_geometry(D: np.ndarray | None = None, body_half: float = 0.15):
 def _rot_body_to_world(q):
     from scipy.spatial.transform import Rotation
 
-    return Rotation.from_quat(np.asarray(q)).as_matrix()
+    # np.array (copy): scipy's cython rejects read-only buffers from jax
+    return Rotation.from_quat(np.array(q, dtype=np.float64)).as_matrix()
 
 
 def animate_rollout(
