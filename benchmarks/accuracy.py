@@ -1,0 +1,87 @@
+"""Accuracy gate: deployed solver config vs high-accuracy golden.
+
+The reference solves each step with IPOPT at tol 1e-3
+(`spiraling_mpc.py:221`).  Its solver stack (CasADi/IPOPT) is replaced
+wholesale here, so accuracy is measured two ways:
+
+  1. KKT certificate (tests/test_certify.py): converged solutions satisfy
+     the NLP's optimality conditions to ~1e-6 feasibility -- solver-
+     independent, i.e. the same first-order conditions IPOPT enforces.
+  2. This script: closed-loop control-sequence deviation between the
+     deployed fast config (fp32-class effort, 3 SQP iterations, one ADMM
+     phase) and an internal golden run (float64, 5 SQP iterations, 6
+     adaptive ADMM phases to ~1e-14 QP residuals).
+
+Run on CPU x64:  JAX_PLATFORMS=cpu python benchmarks/accuracy.py
+"""
+
+import json
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
+from ft_mpc_tpu.controllers.spiraling import MPCConfig, MPCWeights
+from ft_mpc_tpu.ops.dynamics import BodyParams
+from ft_mpc_tpu.sim.env import SimConfig, rollout
+from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
+from ft_mpc_tpu.utils.faults import BrokenThruster
+from ft_mpc_tpu.utils.trajectory import generate_trajectory, prepare_center_trajectory
+
+
+def main():
+    dt = 0.1
+    steps = 120
+    params = BodyParams.default(dt)
+    sc = _build_scenario_with_terminal(
+        params, [BrokenThruster(10, 1.0), BrokenThruster(11, 1.0)], DEFAULT_TUNING
+    )
+    weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    traj = generate_trajectory("hover", dt, 30)
+    x_ref, u_ref = prepare_center_trajectory(
+        traj, np.asarray(sc.omega_des), 16.8, dt, 16
+    )
+    x0 = np.zeros(13)
+    x0[0:3] = [1, 0, 1]
+    x0[3:6] = [1, 0.5, 0]
+    x0[6:10] = Rotation.from_euler("zyx", [50, 30, -10], degrees=True).as_quat()
+    x0[10:13] = [0.3, 0.8, -0.1]
+    args = (jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref), jax.random.key(0))
+    sim = SimConfig(steps=steps, noise_mode="none")
+
+    golden_cfg = MPCConfig(
+        horizon=15, sqp_iters=5,
+        admm=StructuredADMMConfig(iters=100, phases=4, rho=1.0),
+    )
+    fast_cfg = MPCConfig(horizon=15, sqp_iters=3)
+
+    h_gold = rollout(params, sc, weights, golden_cfg, sim, *args)
+    h_fast = rollout(params, sc, weights, fast_cfg, sim, *args)
+
+    du = np.abs(np.asarray(h_fast.u_phys) - np.asarray(h_gold.u_phys))
+    dw = np.abs(np.asarray(h_fast.wrench) - np.asarray(h_gold.wrench))
+    dstate = np.abs(np.asarray(h_fast.state) - np.asarray(h_gold.state))
+
+    result = {
+        "metric": "closed-loop control deviation, fast vs golden (120 steps)",
+        "max_thruster_dev_N": float(du.max()),
+        "max_thruster_dev_N_steady": float(du[40:].max()),
+        "mean_thruster_dev_N": float(du.mean()),
+        "max_wrench_dev": float(dw.max()),
+        "max_state_dev": float(dstate.max()),
+        "final_pos_err_fast_m": float(
+            np.linalg.norm(np.asarray(h_fast.c0[-1, 0:3] - h_fast.x_ref0[-1, 0:3]))
+        ),
+        "final_pos_err_golden_m": float(
+            np.linalg.norm(np.asarray(h_gold.c0[-1, 0:3] - h_gold.x_ref0[-1, 0:3]))
+        ),
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
