@@ -19,6 +19,9 @@ import json
 
 import jax
 
+# Golden comparison runs in float64 on CPU (the TPU tunnel's f64 emulation is
+# slow and the env may pin JAX_PLATFORMS, so force via config, not env).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np

@@ -59,6 +59,32 @@ def zonotope_halfspaces(
         Polytope with unit-norm facet rows.
     """
     d = center.shape[0]
+
+    # Degenerate case: generators span a proper subspace (e.g. a planar
+    # craft embedded in the 6-d wrench space).  Represent the flat set as
+    # facets *within* the span plus +-equality halfspaces pinning the
+    # orthogonal complement, by recursing in the span's coordinates.
+    if generators.size:
+        U, sv, _ = np.linalg.svd(generators)
+    else:
+        U, sv = np.eye(d), np.zeros(0)
+    rank = int(np.sum(sv > tol * max(1.0, sv[0] if sv.size else 1.0)))
+    if rank < d:
+        span = U[:, :rank].T  # (rank, d) orthonormal rows spanning the set
+        null = U[:, rank:].T  # (d - rank, d)
+        inner = zonotope_halfspaces(span @ center, span @ generators, tol)
+        A_in = inner.A @ span  # lift back
+        A_eq = np.vstack([null, -null])
+        b_eq = np.concatenate([null @ center, -null @ center])
+        return Polytope(
+            np.vstack([A_in, A_eq]), np.concatenate([inner.b, b_eq])
+        ).normalized()
+
+    if d == 1:
+        lo = center[0] + np.minimum(generators[0], 0.0).sum()
+        hi = center[0] + np.maximum(generators[0], 0.0).sum()
+        return Polytope(np.array([[1.0], [-1.0]]), np.array([hi, -lo]))
+
     dirs = _distinct_directions(generators, tol)
     k = dirs.shape[1]
     if k < d - 1:

@@ -85,12 +85,24 @@ def batched_wrench_hulls(
             _as_c(A), _as_c(b), _as_c(mask),
             n_threads or (os.cpu_count() or 1),
         )
-        if rc == 0:
-            return A, b, mask
-        raise ValueError(
-            f"a fault pattern produced more than {max_facets} facets; "
-            "pass a larger max_facets"
-        )
+        if rc != 0:
+            raise ValueError(
+                f"a fault pattern produced more than {max_facets} facets; "
+                "pass a larger max_facets"
+            )
+        # The C++ engine handles the full-rank 6-d case; degenerate wrench
+        # sets (e.g. planar craft: generators span a subspace) come back
+        # with zero facets -- recompute those with the general numpy path.
+        empty = np.where(mask.sum(axis=1) == 0)[0]
+        if empty.size:
+            from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
+
+            for s in empty:
+                poly = attainable_wrench_polytope(
+                    D, max_thrust, broken[s], intensity[s]
+                )
+                A[s], b[s], mask[s] = poly.as_padded(max_facets)
+        return A, b, mask
 
     # numpy fallback
     from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
