@@ -29,8 +29,8 @@ def main(B: int | None = None):
     from ft_mpc_tpu.controllers.spiraling import (
         MPCConfig,
         MPCWeights,
-        get_control,
-        init_warmstart,
+        get_control_batch,
+        init_warmstart_batch,
     )
     from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
     from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
@@ -67,7 +67,10 @@ def main(B: int | None = None):
     cfg = MPCConfig(
         horizon=horizon,
         sqp_iters=3,
-        admm=StructuredADMMConfig(iters=30, phases=1, rho=50.0),
+        # lane-fused Pallas ADMM + Newton-refreshed inverse metric; the
+        # tighter adapt_clip keeps the carried metric trackable.
+        admm=StructuredADMMConfig(iters=30, phases=1, rho=50.0, adapt_clip=1.5),
+        newton_iters=3,
     )
 
     traj = generate_trajectory("hover", dt, 5)
@@ -87,18 +90,16 @@ def main(B: int | None = None):
     x0 = jnp.asarray(x0)
 
     warm = jax.jit(
-        jax.vmap(
-            lambda sc, x: init_warmstart(params, sc, cfg, robot_to_center(sc.r, x))
+        lambda b, x: init_warmstart_batch(
+            params, b, weights, cfg,
+            jax.vmap(robot_to_center)(b.r, x), x_ref, u_ref,
         )
     )(bank, x0)
 
     step = jax.jit(
-        jax.vmap(
-            lambda sc, x, w: get_control(
-                params, sc, weights, cfg, x, x_ref, u_ref, w
-            ),
-        ),
-        static_argnames=(),
+        lambda b, x, w: get_control_batch(
+            params, b, weights, cfg, x, x_ref, u_ref, w
+        )
     )
 
     # Warm-up / compile

@@ -75,6 +75,9 @@ class MPCConfig(NamedTuple):
     # all candidates are evaluated in one vmap and the best is selected).
     ls_alphas: tuple = (1.0, 0.5, 0.0)
     ls_penalty: float = 1e3  # l1 penalty weight on defects + violations
+    # Newton-Schulz refresh steps for the carried ADMM inverse metric on
+    # the lane-fused batched path (`sqp_solve_batch`).
+    newton_iters: int = 3
 
 
 class MPCWeights(NamedTuple):
@@ -95,6 +98,10 @@ class WarmStart(NamedTuple):
     y_hull: jnp.ndarray  # (Nt, F) QP duals of stage hull rows (active-set carry)
     y_term: jnp.ndarray  # (T,) QP duals of terminal rows
     rho: jnp.ndarray  # scalar ADMM penalty carry (cross-step adaptivity)
+    # (n, n) warm inverse ADMM metric, Newton-refreshed each solve by the
+    # lane-fused batched backend (`sqp_solve_batch`); None on the
+    # per-scenario XLA paths, which refactor exactly instead.
+    kinv: jnp.ndarray | None = None
 
 
 class SQPInfo(NamedTuple):
@@ -140,7 +147,9 @@ def shift_warmstart(warm: WarmStart, c0: jnp.ndarray) -> WarmStart:
     X = jnp.concatenate([c0[None], warm.X[2:], warm.X[-1:]], axis=0)
     U = jnp.concatenate([warm.U[1:], warm.U[-1:]], axis=0)
     y_hull = jnp.concatenate([warm.y_hull[1:], warm.y_hull[-1:]], axis=0)
-    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=warm.y_term, rho=warm.rho)
+    return WarmStart(
+        X=X, U=U, y_hull=y_hull, y_term=warm.y_term, rho=warm.rho, kinv=warm.kinv
+    )
 
 
 def _stage_dynamics(
@@ -186,6 +195,117 @@ def _condense(A_stack, B_stack, defects, horizon):
     return S_all, phi_all  # (Nt, 13, Nt*6), (Nt, 13)
 
 
+def _masked_geometry(scenario: Scenario):
+    """Constraint geometry with padded rows made inert."""
+    hull_A = scenario.hull_A * scenario.hull_mask[:, None]
+    hull_b = jnp.where(scenario.hull_mask > 0.5, scenario.hull_b, _BIG)
+    term_A = scenario.term_A * scenario.term_mask[:, None]
+    term_b = jnp.where(scenario.term_mask > 0.5, scenario.term_b, _BIG)
+    return hull_A, hull_b, term_A, term_b
+
+
+def _linearize(params, scenario, cfg, X, U, u_ref):
+    """Dynamics values + jacobians along (X, U), and hull offsets."""
+    Nt = cfg.horizon
+    stage_dyn = partial(_stage_dynamics, params, scenario)
+    f_vals = jax.vmap(stage_dyn)(X[:-1], U, u_ref[:Nt])
+    A_stack, B_stack = jax.vmap(jax.jacfwd(stage_dyn, argnums=(0, 1)))(
+        X[:-1], U, u_ref[:Nt]
+    )
+    defects = f_vals - X[1:]
+    return A_stack, B_stack, defects
+
+
+def _assemble_condensed(
+    params, scenario, weights, cfg, X, U, x_ref, u_ref,
+    hull_A, hull_b, term_A, term_b,
+):
+    """Linearize + condense + dense-QP assembly for one scenario.
+
+    Returns (StructuredMPCQP, S_all, phi_all, defects); vmapped unchanged
+    by the batched path.
+    """
+    Nt = cfg.horizon
+    dtype = X.dtype
+    n_dec = Nt * N_U
+    R_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), weights.R)
+    u_unc = scenario.faulty_force_gen
+
+    A_stack, B_stack, defects = _linearize(params, scenario, cfg, X, U, u_ref)
+
+    # Input-hull offsets (RTI: nominal-input rotation frozen).
+    u_r_bar = jnp.einsum("tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt])
+    stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
+    h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
+
+    S_all, phi_all = _condense(A_stack, B_stack, defects, Nt)
+    S9 = S_all[:, :N_OPT, :]  # (Nt, 9, n_dec)
+    e0 = X[1:, :N_OPT] + phi_all[:, :N_OPT] - x_ref[1:]  # (Nt, 9)
+
+    # Running cost stages t = 1..Nt-1; terminal at Nt.
+    S9_run, e0_run = S9[:-1], e0[:-1]
+    S9_N, e0_N = S9[-1], e0[-1]
+    H = 2.0 * (
+        jnp.einsum("tin,ij,tjm->nm", S9_run, weights.Q, S9_run)
+        + S9_N.T @ scenario.term.P @ S9_N
+        + R_blk
+        + cfg.prox * jnp.eye(n_dec, dtype=dtype)
+    )
+    g = 2.0 * (
+        jnp.einsum("tin,ij,tj->n", S9_run, weights.Q, e0_run)
+        + S9_N.T @ (scenario.term.P @ e0_N)
+        + R_blk @ U.reshape(-1)
+    ) + S9_N.T @ scenario.term.p
+
+    G_term = term_A @ S9_N
+    h_term = term_b - term_A @ e0_N
+
+    qp = StructuredMPCQP(
+        H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
+    )
+    return qp, S_all, phi_all, defects
+
+
+def _merit_alpha(
+    params, scenario, weights, cfg, X, U, dX, dU, x_ref, u_ref,
+    hull_A, hull_b, term_A, term_b,
+):
+    """Fixed-candidate l1-merit line search; returns the best step size."""
+    Nt = cfg.horizon
+    dtype = X.dtype
+    u_unc = scenario.faulty_force_gen
+    stage_dyn = partial(_stage_dynamics, params, scenario)
+
+    def merit(alpha):
+        Uc = U + alpha * dU
+        Xc = jnp.concatenate([X[:1], X[1:] + alpha * dX], axis=0)
+        f_c = jax.vmap(stage_dyn)(Xc[:-1], Uc, u_ref[:Nt])
+        defect_c = f_c - Xc[1:]
+        e_run_c = Xc[1:-1, :N_OPT] - x_ref[1:-1]
+        e_N_c = Xc[-1, :N_OPT] - x_ref[-1]
+        J = (
+            jnp.einsum("ti,ij,tj->", e_run_c, weights.Q, e_run_c)
+            + jnp.einsum("ti,ij,tj->", Uc, weights.R, Uc)
+            + e_N_c @ scenario.term.P @ e_N_c
+            + scenario.term.p @ e_N_c
+        )
+        u_r_c = jnp.einsum("tij,tj->ti", rot_full_inv(Xc[:-1, 9:13]), u_ref[:Nt])
+        w_tot = Uc + u_r_c + scenario.u_comp + u_unc
+        viol = (
+            jnp.sum(jnp.abs(defect_c))
+            + jnp.sum(jnp.maximum(w_tot @ hull_A.T - hull_b[None, :], 0.0))
+            + jnp.sum(jnp.maximum(term_A @ e_N_c - term_b, 0.0))
+        )
+        return J + cfg.ls_penalty * viol
+
+    alphas = jnp.asarray(cfg.ls_alphas, dtype=dtype)
+    merits = jax.vmap(merit)(alphas)
+    # A non-finite candidate (astronomical trial step overflowing the
+    # rollout) must never win over alpha = 0.
+    merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+    return alphas[jnp.argmin(merits)]
+
+
 def sqp_solve(
     params: BodyParams,
     scenario: Scenario,
@@ -199,65 +319,19 @@ def sqp_solve(
     """Fixed-iteration SQP on the spiraling MPC problem (one scenario)."""
     Nt = cfg.horizon
     dtype = c0.dtype
-    n_dec = Nt * N_U
 
-    # Masked constraint geometry (padded rows inert).
-    hull_A = scenario.hull_A * scenario.hull_mask[:, None]
-    hull_b = jnp.where(scenario.hull_mask > 0.5, scenario.hull_b, _BIG)
-    term_A = scenario.term_A * scenario.term_mask[:, None]
-    term_b = jnp.where(scenario.term_mask > 0.5, scenario.term_b, _BIG)
-    F = hull_A.shape[0]
-
-    R_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), weights.R)
+    hull_A, hull_b, term_A, term_b = _masked_geometry(scenario)
 
     u_unc = scenario.faulty_force_gen
-
     stage_dyn = partial(_stage_dynamics, params, scenario)
 
     def sqp_iteration(carry, _):
         X, U, yh, yt, rho = carry
 
-        # --- 1. linearize dynamics along (X, U) -------------------------
-        f_vals = jax.vmap(stage_dyn)(X[:-1], U, u_ref[:Nt])
-        A_stack, B_stack = jax.vmap(jax.jacfwd(stage_dyn, argnums=(0, 1)))(
-            X[:-1], U, u_ref[:Nt]
-        )
-        defects = f_vals - X[1:]
-
-        # Input-hull offsets (RTI: nominal-input rotation frozen).
-        u_r_bar = jnp.einsum(
-            "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
-        )
-        stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
-        h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
-
         if cfg.qp_backend == "condensed":
-            # --- condense, assemble the dense QP, structured ADMM ---------
-            S_all, phi_all = _condense(A_stack, B_stack, defects, Nt)
-            S9 = S_all[:, :N_OPT, :]  # (Nt, 9, n_dec)
-            e0 = X[1:, :N_OPT] + phi_all[:, :N_OPT] - x_ref[1:]  # (Nt, 9)
-
-            # Running cost stages t = 1..Nt-1; terminal at Nt.
-            S9_run, e0_run = S9[:-1], e0[:-1]
-            S9_N, e0_N = S9[-1], e0[-1]
-            H = 2.0 * (
-                jnp.einsum("tin,ij,tjm->nm", S9_run, weights.Q, S9_run)
-                + S9_N.T @ scenario.term.P @ S9_N
-                + R_blk
-                + cfg.prox * jnp.eye(n_dec, dtype=dtype)
-            )
-            g = 2.0 * (
-                jnp.einsum("tin,ij,tj->n", S9_run, weights.Q, e0_run)
-                + S9_N.T @ (scenario.term.P @ e0_N)
-                + R_blk @ U.reshape(-1)
-            ) + S9_N.T @ scenario.term.p
-
-            G_term = term_A @ S9_N
-            h_term = term_b - term_A @ e0_N
-
-            qp = StructuredMPCQP(
-                H=H, g=g, hull_A=hull_A, h_hull=h_hull,
-                G_term=G_term, h_term=h_term,
+            qp, S_all, phi_all, defects = _assemble_condensed(
+                params, scenario, weights, cfg, X, U, x_ref, u_ref,
+                hull_A, hull_b, term_A, term_b,
             )
             sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho)
             dU = sol.x.reshape(Nt, N_U)
@@ -265,6 +339,14 @@ def sqp_solve(
             rho_new = sol.rho
             du_raw = jnp.max(jnp.abs(sol.x))
         elif cfg.qp_backend == "stagewise":
+            A_stack, B_stack, defects = _linearize(
+                params, scenario, cfg, X, U, u_ref
+            )
+            u_r_bar = jnp.einsum(
+                "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
+            )
+            stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
+            h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
             # --- banded KKT via Riccati-in-ADMM (no condensing) -----------
             Q13 = jnp.zeros((N_X, N_X), dtype).at[:N_OPT, :N_OPT].set(weights.Q)
             e_bar = X[:, :N_OPT] - x_ref  # (Nt+1, 9)
@@ -307,34 +389,11 @@ def sqp_solve(
         else:
             raise ValueError(f"unknown qp_backend {cfg.qp_backend}")
 
-        # --- 6. merit line search over fixed step candidates --------------
-        def merit(alpha):
-            Uc = U + alpha * dU
-            Xc = jnp.concatenate([X[:1], X[1:] + alpha * dX], axis=0)
-            f_c = jax.vmap(stage_dyn)(Xc[:-1], Uc, u_ref[:Nt])
-            defect_c = f_c - Xc[1:]
-            e_run_c = Xc[1:-1, :N_OPT] - x_ref[1:-1]
-            e_N_c = Xc[-1, :N_OPT] - x_ref[-1]
-            J = (
-                jnp.einsum("ti,ij,tj->", e_run_c, weights.Q, e_run_c)
-                + jnp.einsum("ti,ij,tj->", Uc, weights.R, Uc)
-                + e_N_c @ scenario.term.P @ e_N_c
-                + scenario.term.p @ e_N_c
-            )
-            u_r_c = jnp.einsum(
-                "tij,tj->ti", rot_full_inv(Xc[:-1, 9:13]), u_ref[:Nt]
-            )
-            w_tot = Uc + u_r_c + scenario.u_comp + u_unc
-            viol = (
-                jnp.sum(jnp.abs(defect_c))
-                + jnp.sum(jnp.maximum(w_tot @ hull_A.T - hull_b[None, :], 0.0))
-                + jnp.sum(jnp.maximum(term_A @ e_N_c - term_b, 0.0))
-            )
-            return J + cfg.ls_penalty * viol
-
-        alphas = jnp.asarray(cfg.ls_alphas, dtype=dtype)
-        merits = jax.vmap(merit)(alphas)
-        alpha = alphas[jnp.argmin(merits)]
+        # --- merit line search over fixed step candidates -----------------
+        alpha = _merit_alpha(
+            params, scenario, weights, cfg, X, U, dX, dU, x_ref, u_ref,
+            hull_A, hull_b, term_A, term_b,
+        )
 
         U_new = U + alpha * dU
         X_new = jnp.concatenate([X[:1], X[1:] + alpha * dX], axis=0)
@@ -371,7 +430,111 @@ def sqp_solve(
         defect=infos[2][-1],
         du_norm=infos[3][-1],
     )
-    return WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho), info
+    return (
+        WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho, kinv=warm.kinv),
+        info,
+    )
+
+
+def sqp_solve_batch(
+    params: BodyParams,
+    bank: Scenario,  # leading scenario-batch axis on every leaf
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    c0: jnp.ndarray,  # (B, 13)
+    x_ref: jnp.ndarray,  # (Nt+1, 9) shared reference window
+    u_ref: jnp.ndarray,  # (Nt+1, 6)
+    warm: WarmStart,  # batched leaves; warm.kinv (B, n, n) or None
+) -> tuple[WarmStart, SQPInfo]:
+    """Batched SQP over a scenario bank on the lane-fused QP backend.
+
+    Functionally equivalent to vmap(sqp_solve) with qp_backend='condensed',
+    but the QP solve runs unvmapped through `solve_mpc_qp_lanes` (fused
+    Pallas ADMM over 128-scenario lane tiles + Newton-refreshed K^{-1}),
+    which vmap-of-pallas_call cannot express.  warm.kinv is refreshed each
+    solve and carried across control steps; pass kinv=None on the first
+    call for an exact cold-start factorization.
+    """
+    from ft_mpc_tpu.solvers.lanes_qp import solve_mpc_qp_lanes
+
+    Nt = cfg.horizon
+
+    hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
+
+    # params/weights/cfg/x_ref/u_ref are loop-invariant: close over them
+    # (cfg carries non-array leaves vmap must not traverse).
+    assemble = jax.vmap(
+        lambda sc, X, U, hA, hb, tA, tb: _assemble_condensed(
+            params, sc, weights, cfg, X, U, x_ref, u_ref, hA, hb, tA, tb
+        )
+    )
+    line_search = jax.vmap(
+        lambda sc, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
+            params, sc, weights, cfg, X, U, dX, dU, x_ref, u_ref, hA, hb, tA, tb
+        )
+    )
+
+    def sqp_iteration(carry, _):
+        X, U, yh, yt, rho, kinv = carry
+        qp, S_all, phi_all, defects = assemble(
+            bank, X, U, hull_A, hull_b, term_A, term_b
+        )
+        sol = solve_mpc_qp_lanes(
+            qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho, kinv0=kinv,
+            newton_iters=cfg.newton_iters,
+        )
+        dU = sol.x.reshape(-1, Nt, N_U)
+        dX = jnp.einsum("btin,bn->bti", S_all, sol.x) + phi_all
+        alpha = line_search(
+            bank, X, U, dX, dU, hull_A, hull_b, term_A, term_b
+        )  # (B,)
+        a = alpha[:, None, None]
+        U_new = U + a * dU
+        X_new = jnp.concatenate([X[:, :1], X[:, 1:] + a * dX], axis=1)
+        du_raw = jnp.max(jnp.abs(sol.x), axis=1)
+        info = (
+            sol.r_prim,
+            sol.r_dual,
+            jnp.max(jnp.abs(defects), axis=(1, 2)),
+            alpha * du_raw,
+        )
+        return (
+            X_new, U_new, sol.y_hull, sol.y_term,
+            sol.rho.astype(rho.dtype), sol.kinv,
+        ), info
+
+    X0 = warm.X.at[:, 0].set(c0)
+    (X, U, y_hull, y_term, rho, kinv), infos = jax.lax.scan(
+        sqp_iteration,
+        (X0, warm.U, warm.y_hull, warm.y_term, warm.rho, warm.kinv),
+        None,
+        length=cfg.sqp_iters,
+    )
+
+    e_run = X[:, :-1, :N_OPT] - x_ref[None, :-1]
+    cost = (
+        jnp.einsum("bti,ij,btj->b", e_run, weights.Q, e_run)
+        + jnp.einsum("bti,ij,btj->b", U, weights.R, U)
+    )
+    e_N = X[:, -1, :N_OPT] - x_ref[None, -1]
+    cost = (
+        cost
+        + jnp.einsum("bi,bij,bj->b", e_N, bank.term.P, e_N)
+        + jnp.einsum("bi,bi->b", bank.term.p, e_N)
+        + bank.term.c
+    )
+
+    info = SQPInfo(
+        cost=cost,
+        r_prim=infos[0][-1],
+        r_dual=infos[1][-1],
+        defect=infos[2][-1],
+        du_norm=infos[3][-1],
+    )
+    return (
+        WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho, kinv=kinv),
+        info,
+    )
 
 
 class ControlOutput(NamedTuple):
@@ -381,6 +544,92 @@ class ControlOutput(NamedTuple):
     warm: WarmStart
     info: SQPInfo
     alloc: AllocationResult
+
+
+def _finalize_control(params, scenario, c0, u0, u_ref0):
+    """Un-rotate the first SQP input and allocate thrusters (one scenario).
+
+    Mirrors `spiraling_mpc.py:301-307`: u0 + rotated nominal + compensation,
+    rotated into the robot frame by the spiral frame quaternion beta, then
+    min-energy thruster allocation.
+    """
+    u_nom = rot_full_inv(c0[9:13]) @ u_ref0
+    u_res = u0 + u_nom + scenario.u_comp
+    u_res = rot_full(scenario.beta) @ u_res
+    alloc = allocate_thrusters(
+        u_res,
+        params.D,
+        scenario.u_ub,
+        scenario.faulty_force_gen,
+        scenario.hull_A,
+        scenario.hull_b,
+        scenario.hull_mask,
+        gen_G=scenario.gen_G,
+        gen_c=scenario.gen_c,
+        gen_L=scenario.gen_L,
+        max_thrust=params.max_thrust,
+    )
+    return u_res, alloc
+
+
+def init_warmstart_batch(
+    params: BodyParams,
+    bank: Scenario,  # leading scenario-batch axis
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    c0: jnp.ndarray,  # (B, 13)
+    x_ref: jnp.ndarray,  # (Nt+1, 9)
+    u_ref: jnp.ndarray,  # (Nt+1, 6)
+) -> WarmStart:
+    """Batched warm start for `sqp_solve_batch`/`get_control_batch`.
+
+    vmap of `init_warmstart` plus the exact cold-start inverse ADMM
+    metric (one batched Cholesky at setup; afterwards `sqp_solve_batch`
+    Newton-refreshes it, never refactoring on the hot path).
+    """
+    from ft_mpc_tpu.solvers.lanes_qp import build_K, exact_kinv
+
+    warm = jax.vmap(lambda sc, c: init_warmstart(params, sc, cfg, c))(bank, c0)
+    hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
+    qp, _, _, _ = jax.vmap(
+        lambda sc, X, U, hA, hb, tA, tb: _assemble_condensed(
+            params, sc, weights, cfg, X, U, x_ref, u_ref, hA, hb, tA, tb
+        )
+    )(bank, warm.X, warm.U, hull_A, hull_b, term_A, term_b)
+    K, _ = build_K(qp, warm.rho.astype(jnp.float32), cfg.admm.sigma)
+    return warm._replace(kinv=exact_kinv(K))
+
+
+def get_control_batch(
+    params: BodyParams,
+    bank: Scenario,  # leading scenario-batch axis
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    x0: jnp.ndarray,  # (B, 13) robot states
+    x_ref: jnp.ndarray,  # (Nt+1, 9) shared center reference window
+    u_ref: jnp.ndarray,  # (Nt+1, 6)
+    warm: WarmStart,  # from init_warmstart_batch / previous step (batched)
+) -> ControlOutput:
+    """One full control step for a scenario bank on the lane-fused backend.
+
+    Batched equivalent of vmap(get_control): same transform + allocation
+    (vmapped), but the SQP/QP core runs through `sqp_solve_batch`.
+    """
+    c0 = jax.vmap(robot_to_center)(bank.r, x0)
+    new_warm, info = sqp_solve_batch(
+        params, bank, weights, cfg, c0, x_ref, u_ref, warm
+    )
+    u_res, alloc = jax.vmap(
+        lambda sc, c, u0: _finalize_control(params, sc, c, u0, u_ref[0])
+    )(bank, c0, new_warm.U[:, 0])
+    return ControlOutput(
+        u_phys=alloc.u_phys,
+        wrench=u_res,
+        c0=c0,
+        warm=new_warm,
+        info=info,
+        alloc=alloc,
+    )
 
 
 def get_control(
@@ -402,24 +651,7 @@ def get_control(
     c0 = robot_to_center(scenario.r, x0)
     new_warm, info = sqp_solve(params, scenario, weights, cfg, c0, x_ref, u_ref, warm)
 
-    u0 = new_warm.U[0]
-    u_nom = rot_full_inv(c0[9:13]) @ u_ref[0]
-    u_res = u0 + u_nom + scenario.u_comp
-    u_res = rot_full(scenario.beta) @ u_res
-
-    alloc = allocate_thrusters(
-        u_res,
-        params.D,
-        scenario.u_ub,
-        scenario.faulty_force_gen,
-        scenario.hull_A,
-        scenario.hull_b,
-        scenario.hull_mask,
-        gen_G=scenario.gen_G,
-        gen_c=scenario.gen_c,
-        gen_L=scenario.gen_L,
-        max_thrust=params.max_thrust,
-    )
+    u_res, alloc = _finalize_control(params, scenario, c0, new_warm.U[0], u_ref[0])
     return ControlOutput(
         u_phys=alloc.u_phys,
         wrench=u_res,

@@ -26,7 +26,9 @@ from ft_mpc_tpu.controllers.spiraling import (
     MPCWeights,
     WarmStart,
     get_control,
+    get_control_batch,
     init_warmstart,
+    init_warmstart_batch,
     shift_warmstart,
 )
 from ft_mpc_tpu.geometry.scenario import Scenario
@@ -228,3 +230,77 @@ def batched_rollout(
         params, sc, weights, mpc_cfg, sim_cfg, x0, x_ref_full, u_ref_full, k
     )
     return jax.vmap(fn)(scenarios, x_inits, keys)
+
+
+@partial(jax.jit, static_argnames=("mpc_cfg", "sim_cfg"))
+def batched_rollout_lanes(
+    params: BodyParams,
+    scenarios: Scenario,  # leading scenario axis on every leaf
+    weights: MPCWeights,
+    mpc_cfg: MPCConfig,
+    sim_cfg: SimConfig,
+    x_inits: jnp.ndarray,  # (B, 13)
+    x_ref_full: jnp.ndarray,  # shared (T_ref, 9)
+    u_ref_full: jnp.ndarray,
+    keys: jnp.ndarray,  # (B,) PRNG keys
+) -> RolloutHistory:
+    """B simultaneous closed loops on the lane-fused QP backend.
+
+    Same semantics as `batched_rollout`, but the scan step calls
+    `get_control_batch` (fused Pallas ADMM over 128-scenario lane tiles,
+    Newton-refreshed inverse metric carried in the warm start), which a
+    vmap over `rollout` cannot express.  Returns (B, T, ...) histories.
+    """
+    Nt = mpc_cfg.horizon
+    dtype = x_ref_full.dtype
+    x_inits = x_inits.astype(dtype)
+
+    c_init = jax.vmap(robot_to_center)(scenarios.r, x_inits)
+    warm0 = init_warmstart_batch(
+        params, scenarios, weights, mpc_cfg, c_init,
+        x_ref_full[: Nt + 1], u_ref_full[: Nt + 1],
+    )
+
+    def step(carry, i):
+        state, warm, keys = carry
+        splits = jax.vmap(lambda k: jax.random.split(k))(keys)
+        keys, subs = splits[:, 0], splits[:, 1]
+
+        x_ref = jax.lax.dynamic_slice(x_ref_full, (i, 0), (Nt + 1, 9))
+        u_ref = jax.lax.dynamic_slice(u_ref_full, (i, 0), (Nt + 1, 6))
+
+        out: ControlOutput = get_control_batch(
+            params, scenarios, weights, mpc_cfg, state, x_ref, u_ref, warm
+        )
+
+        x_new = jax.vmap(lambda f, s, u: robot_step(params, f, s, u))(
+            scenarios.fault, state, out.u_phys
+        )
+        x_new = x_new + jax.vmap(lambda k: _noise_vector(sim_cfg, k, dtype))(subs)
+        x_new = x_new.at[:, 6:10].set(
+            jax.vmap(quat_normalize)(x_new[:, 6:10])
+        )
+
+        c_new = jax.vmap(robot_to_center)(scenarios.r, x_new)
+        warm_next = jax.vmap(shift_warmstart)(out.warm, c_new)
+
+        rec = (
+            jnp.broadcast_to(i.astype(dtype) * params.dt, state.shape[:1]),
+            state,
+            out.c0,
+            out.u_phys,
+            out.wrench,
+            jnp.broadcast_to(x_ref[0], (state.shape[0], 9)),
+            out.info.cost,
+            out.info.r_prim,
+            out.info.r_dual,
+            out.info.defect,
+            out.alloc.was_clipped,
+        )
+        return (x_new, warm_next, keys), rec
+
+    (_, _, _), recs = jax.lax.scan(
+        step, (x_inits, warm0, keys), jnp.arange(sim_cfg.steps)
+    )
+    # (T, B, ...) -> (B, T, ...) to match batched_rollout
+    return RolloutHistory(*jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), recs))

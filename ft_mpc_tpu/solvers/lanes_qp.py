@@ -1,0 +1,453 @@
+"""Lane-batched fused Pallas ADMM + Newton-refreshed inverse for the MPC QP.
+
+The XLA path in `mpc_qp.py` is dominated (measured on v5e, B=2048) by
+(a) the batched 90x90 Cholesky + explicit inverse (~32 ms per SQP
+iteration -- XLA lowers small batched factorizations to long unrolled
+loops of tiny kernels) and (b) ~1 ms/iteration of kernel-launch overhead
+in the op-by-op ADMM loop.  Neither is compute: the whole QP solve is
+<1 GFLOP.  Two TPU-native replacements:
+
+1. `newton_kinv`: the ADMM normal matrix K = H + sigma I + rho M changes
+   slowly across SQP iterations and control steps (warm-started
+   trajectories, warm-carried rho), so K^{-1} is *refreshed*, not
+   refactored: a trace-scaled symmetric Newton-Schulz step
+   X <- 2X - X K X doubles the correct digits per iteration and runs as
+   two large batched MXU matmuls instead of a sequential factorization.
+   The exact Cholesky runs once at cold start (and stays available as
+   the `kinv0=None` path).  The SQP merit line search bounds the damage
+   of a transiently inexact metric: a bad QP direction is rejected at
+   alpha = 0.
+
+2. `admm_lanes`: all ADMM iterations fused into one Pallas kernel with
+   the *scenario batch in the lane (last, 128-wide) dimension*, so every
+   per-scenario small-matrix op is a full-width VPU op and K^{-1} stays
+   VMEM-resident across iterations.  The stage input-hull block stays
+   implicit (per-stage (F,6) contractions, statically unrolled over the
+   horizon); terminal rows are dense.  Grid = 128-scenario tiles.
+
+Semantics match `solve_mpc_qp` (same over-relaxed iteration, same
+one-sided constraints, same residual/rho-adaptation formulas, which run
+in XLA on the batch after the kernel).  fp32 throughout (same precision
+class as the deployed XLA path).  On non-TPU backends the kernel runs in
+Pallas interpreter mode so the test suite exercises it on CPU.
+
+Reference parity: this solves the per-step QP the reference hands to
+IPOPT (`ft_mpc/controllers/spiraling_mpc.py:216-230,346`), for a whole
+scenario bank per call instead of one NLP per process.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ft_mpc_tpu.solvers.mpc_qp import (
+    StructuredADMMConfig,
+    StructuredMPCQP,
+)
+from typing import NamedTuple
+
+LANES = 128
+N_U = 6
+_BIG = 1e8
+
+
+class LanesSolution(NamedTuple):
+    x: jnp.ndarray  # (B, n)
+    y_hull: jnp.ndarray  # (B, Nt, F)
+    y_term: jnp.ndarray  # (B, T)
+    r_prim: jnp.ndarray  # (B,)
+    r_dual: jnp.ndarray  # (B,)
+    rho: jnp.ndarray  # (B,)
+    kinv: jnp.ndarray  # (B, n, n) inverse metric to carry into the next solve
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# K^{-1}: exact cold start + Newton-Schulz warm refresh (batched XLA)
+# ---------------------------------------------------------------------------
+
+
+def exact_kinv(K: jnp.ndarray) -> jnp.ndarray:
+    """Batched explicit inverse via Cholesky (cold-start path)."""
+    n = K.shape[-1]
+    chol = jnp.linalg.cholesky(K)
+    eye = jnp.eye(n, dtype=K.dtype)
+    return jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(chol)
+
+
+def newton_kinv(K: jnp.ndarray, X0: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Refresh X ~= K^{-1} from a warm X0 by symmetric Newton-Schulz.
+
+    A per-scenario optimal scalar rescale s = tr(K X0)/||K X0||_F^2 first
+    centers the spectrum of s K X0 around 1 (exact compensation for a
+    rho-driven global scaling of K), then each iteration
+    X <- 2X - X K X squares the residual I - K X.  All ops are batched
+    (B, n, n) matmuls on the MXU.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    Y = jnp.einsum("bij,bjk->bik", K, X0)
+    # Per-scenario divergence guard: Newton contracts iff ||I - s K X0|| < 1.
+    # Where the carried metric has drifted too far (e.g. a fault switch
+    # rewrote H), restart from X = K / (||K||_1 ||K||_inf), which is
+    # contractive for any SPD K (slow but self-healing across the carried
+    # solves; the SQP merit line search bounds the interim damage).
+    tr = jnp.trace(Y, axis1=-2, axis2=-1)
+    fn = jnp.maximum(jnp.sum(Y * Y, axis=(-2, -1)), 1e-30)
+    s = (tr / fn)[:, None, None]
+    resid = jnp.max(jnp.abs(s * Y - eye[None]), axis=(-2, -1))
+    norm1 = jnp.max(jnp.sum(jnp.abs(K), axis=-2), axis=-1)
+    norm_inf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
+    X_safe = K / jnp.maximum(norm1 * norm_inf, 1e-30)[:, None, None]
+    use_safe = (resid >= 1.0)[:, None, None]
+    X = jnp.where(use_safe, X_safe, s * X0)
+    Y = jnp.where(use_safe, jnp.einsum("bij,bjk->bik", K, X_safe), s * Y)
+    for i in range(iters):
+        X = 2.0 * X - jnp.einsum("bij,bjk->bik", X, Y)
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+        if i < iters - 1:
+            Y = jnp.einsum("bij,bjk->bik", K, X)
+    return X
+
+
+def build_K(
+    qp: StructuredMPCQP, rho: jnp.ndarray, sigma: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """K = H + sigma I + rho (I_Nt kron Ah^T Ah + Gt^T Gt), batched.
+
+    Returns (K, M_rho) so per-phase rebuilds reuse M_rho.
+    """
+    B, n = qp.g.shape
+    Nt = qp.h_hull.shape[1]
+    f32 = jnp.float32
+    AhTAh = jnp.einsum("bfi,bfj->bij", qp.hull_A, qp.hull_A).astype(f32)
+    GtTGt = jnp.einsum("bti,btj->bij", qp.G_term, qp.G_term).astype(f32)
+    eye_nt = jnp.eye(Nt, dtype=f32)
+    blk = jax.vmap(lambda M: jnp.kron(eye_nt, M))(AhTAh)
+    M_rho = blk + GtTGt
+    eye = jnp.eye(n, dtype=f32)
+    K = qp.H.astype(f32) + sigma * eye[None] + rho[:, None, None] * M_rho
+    return K, M_rho
+
+
+# ---------------------------------------------------------------------------
+# fused ADMM iterations (structured operator, K^{-1} resident in VMEM)
+# ---------------------------------------------------------------------------
+
+
+def _admm_kernel(
+    Kinv_ref,  # (n, n, L)
+    Ah_ref,  # (F, 6, L) shared stage hull block
+    hh_ref,  # (Nt, F, L) per-stage offsets
+    Gt_ref,  # (T, n, L) dense terminal rows
+    ht_ref,  # (T, L)
+    g_ref,  # (n, L)
+    x0_ref,  # (n, L)
+    zh0_ref,  # (Nt, F, L)
+    zt0_ref,  # (T, L)
+    yh0_ref,  # (Nt, F, L)
+    yt0_ref,  # (T, L)
+    rho_ref,  # (1, L)
+    x_out,  # (n, L)
+    zh_out,  # (Nt, F, L)
+    zt_out,  # (T, L)
+    yh_out,  # (Nt, F, L)
+    yt_out,  # (T, L)
+    *,
+    sigma: float,
+    alpha: float,
+    iters: int,
+):
+    n = Kinv_ref.shape[0]
+    Nt = hh_ref.shape[0]
+    Kinv = Kinv_ref[:]
+    Ah = Ah_ref[:]
+    hh = hh_ref[:]
+    Gt = Gt_ref[:]
+    ht = ht_ref[:]
+    g = g_ref[:]
+    rho = rho_ref[0, :]  # (L,)
+    inv_rho = 1.0 / rho
+
+    def hull_gx(xv):
+        # (I_Nt (x) Ah) xv, per stage: (F,6,L)*(1,6,L) summed over inputs.
+        rows = [
+            jnp.sum(Ah * xv[N_U * t : N_U * (t + 1), :][None, :, :], axis=1)
+            for t in range(Nt)
+        ]
+        return jnp.stack(rows, axis=0)  # (Nt, F, L)
+
+    def hull_gty(vh):
+        # (I_Nt (x) Ah)^T vh, per stage: (F,6,L)*(F,1,L) summed over facets.
+        parts = [jnp.sum(Ah * vh[t][:, None, :], axis=0) for t in range(Nt)]
+        return jnp.concatenate(parts, axis=0)  # (n, L)
+
+    def body(_, carry):
+        x, zh, zt, yh, yt = carry
+        gty = hull_gty(rho[None, None, :] * zh - yh)
+        gty = gty + jnp.sum(Gt * (rho[None, :] * zt - yt)[:, None, :], axis=0)
+        rhs = sigma * x - g + gty
+        x_t = jnp.sum(Kinv * rhs[None, :, :], axis=1)  # K^{-1} @ rhs
+        x_new = alpha * x_t + (1.0 - alpha) * x
+        gh_t = hull_gx(x_t)
+        gt_t = jnp.sum(Gt * x_t[None, :, :], axis=1)  # (T, L)
+        zh_hat = alpha * gh_t + (1.0 - alpha) * zh
+        zt_hat = alpha * gt_t + (1.0 - alpha) * zt
+        zh_new = jnp.minimum(zh_hat + yh * inv_rho[None, None, :], hh)
+        zt_new = jnp.minimum(zt_hat + yt * inv_rho[None, :], ht)
+        yh_new = yh + rho[None, None, :] * (zh_hat - zh_new)
+        yt_new = yt + rho[None, :] * (zt_hat - zt_new)
+        return (x_new, zh_new, zt_new, yh_new, yt_new)
+
+    x, zh, zt, yh, yt = jax.lax.fori_loop(
+        0,
+        iters,
+        body,
+        (x0_ref[:], zh0_ref[:], zt0_ref[:], yh0_ref[:], yt0_ref[:]),
+    )
+    x_out[:] = x
+    zh_out[:] = zh
+    zt_out[:] = zt
+    yh_out[:] = yh
+    yt_out[:] = yt
+
+
+def admm_lanes(
+    Kinv: jnp.ndarray,  # (n, n, B)
+    hull_A: jnp.ndarray,  # (F, 6, B)
+    h_hull: jnp.ndarray,  # (Nt, F, B)
+    G_term: jnp.ndarray,  # (T, n, B)
+    h_term: jnp.ndarray,  # (T, B)
+    g: jnp.ndarray,  # (n, B)
+    x0: jnp.ndarray,  # (n, B)
+    zh0: jnp.ndarray,  # (Nt, F, B)
+    zt0: jnp.ndarray,  # (T, B)
+    yh0: jnp.ndarray,  # (Nt, F, B)
+    yt0: jnp.ndarray,  # (T, B)
+    rho: jnp.ndarray,  # (B,)
+    sigma: float,
+    alpha: float,
+    iters: int,
+):
+    n, _, B = Kinv.shape
+    F = hull_A.shape[0]
+    Nt = h_hull.shape[0]
+    T = G_term.shape[0]
+    assert Nt * N_U == n and B % LANES == 0
+    grid = (B // LANES,)
+    f32 = jnp.float32
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (LANES,),
+            lambda b, _nd=nd: (0,) * _nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _admm_kernel, sigma=float(sigma), alpha=float(alpha), iters=int(iters)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec(n, n),
+            spec(F, N_U),
+            spec(Nt, F),
+            spec(T, n),
+            spec(T),
+            spec(n),
+            spec(n),
+            spec(Nt, F),
+            spec(T),
+            spec(Nt, F),
+            spec(T),
+            spec(1),
+        ],
+        out_specs=[spec(n), spec(Nt, F), spec(T), spec(Nt, F), spec(T)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, B), f32),
+            jax.ShapeDtypeStruct((Nt, F, B), f32),
+            jax.ShapeDtypeStruct((T, B), f32),
+            jax.ShapeDtypeStruct((Nt, F, B), f32),
+            jax.ShapeDtypeStruct((T, B), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(
+        Kinv.astype(f32),
+        hull_A.astype(f32),
+        h_hull.astype(f32),
+        G_term.astype(f32),
+        h_term.astype(f32),
+        g.astype(f32),
+        x0.astype(f32),
+        zh0.astype(f32),
+        zt0.astype(f32),
+        yh0.astype(f32),
+        yt0.astype(f32),
+        rho.astype(f32).reshape(1, B),
+    )
+    return out  # (x, zh, zt, yh, yt)
+
+
+# ---------------------------------------------------------------------------
+# batched wrapper with the same semantics as solve_mpc_qp
+# ---------------------------------------------------------------------------
+
+
+def _pad_batch(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
+    B = x.shape[0]
+    if B == Bp:
+        return x
+    pad = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, ...) -> (..., B)."""
+    return jnp.moveaxis(x, 0, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "newton_iters"))
+def solve_mpc_qp_lanes(
+    qp: StructuredMPCQP,  # batched: H (B,n,n), g (B,n), hull_A (B,F,6), ...
+    cfg: StructuredADMMConfig = StructuredADMMConfig(),
+    y_hull0: jnp.ndarray | None = None,
+    y_term0: jnp.ndarray | None = None,
+    rho0: jnp.ndarray | None = None,
+    kinv0: jnp.ndarray | None = None,
+    newton_iters: int = 2,
+) -> LanesSolution:
+    """Batched structured-QP solve on the lane-fused Pallas backend.
+
+    Input is a leading-batch StructuredMPCQP (as produced by vmapping the
+    assembly); semantics match vmap(solve_mpc_qp) with the same config,
+    except the x-update metric: with `kinv0` given, K^{-1} is Newton-
+    refreshed from it (`newton_iters` steps) instead of refactored.
+    Carry `sol.kinv` into the next call's `kinv0`.
+    """
+    B, n = qp.g.shape
+    Nt = qp.h_hull.shape[1]
+    T = qp.h_term.shape[1]
+    dtype = qp.H.dtype
+    f32 = jnp.float32
+    Bp = -(-B // LANES) * LANES
+
+    yh = jnp.zeros_like(qp.h_hull) if y_hull0 is None else y_hull0
+    yt = jnp.zeros_like(qp.h_term) if y_term0 is None else y_term0
+    rho = (
+        jnp.full((B,), cfg.rho, f32)
+        if rho0 is None
+        else jnp.clip(jnp.broadcast_to(rho0, (B,)), cfg.rho_min, cfg.rho_max).astype(
+            f32
+        )
+    )
+
+    # lane-layout constants across phases
+    Ah_l = _lanes(_pad_batch(qp.hull_A.astype(f32), Bp))  # (F, 6, Bp)
+    hh_l = _lanes(_pad_batch(qp.h_hull.astype(f32), Bp))
+    Gt_l = _lanes(_pad_batch(qp.G_term.astype(f32), Bp))
+    ht_l = _lanes(_pad_batch(qp.h_term.astype(f32), Bp))
+    g_l = _lanes(_pad_batch(qp.g.astype(f32), Bp))
+
+    _, M_rho = build_K(qp, rho, cfg.sigma)
+    eye = jnp.eye(n, dtype=f32)
+    H32 = qp.H.astype(f32)
+
+    def make_kinv(rho, kinv_prev):
+        K = H32 + cfg.sigma * eye[None] + rho[:, None, None] * M_rho
+        if kinv_prev is None:
+            return exact_kinv(K)
+        return newton_kinv(K, kinv_prev, newton_iters)
+
+    kinv = make_kinv(rho, kinv0)
+
+    def run_phase(carry, _):
+        yh, yt, rho, x_c, zh_c, zt_c, kinv = carry
+        x_l, zh_l, zt_l, yh_l, yt_l = admm_lanes(
+            _lanes(_pad_batch(kinv, Bp)),
+            Ah_l,
+            hh_l,
+            Gt_l,
+            ht_l,
+            g_l,
+            _lanes(_pad_batch(x_c.astype(f32), Bp)),
+            _lanes(_pad_batch(zh_c.astype(f32), Bp)),
+            _lanes(_pad_batch(zt_c.astype(f32), Bp)),
+            _lanes(_pad_batch(yh.astype(f32), Bp)),
+            _lanes(_pad_batch(yt.astype(f32), Bp)),
+            _pad_batch(rho, Bp),
+            cfg.sigma,
+            cfg.alpha,
+            cfg.iters,
+        )
+        x = jnp.moveaxis(x_l, -1, 0)[:B].astype(dtype)
+        zh = jnp.moveaxis(zh_l, -1, 0)[:B].astype(dtype)
+        zt = jnp.moveaxis(zt_l, -1, 0)[:B].astype(dtype)
+        yh_n = jnp.moveaxis(yh_l, -1, 0)[:B].astype(dtype)
+        yt_n = jnp.moveaxis(yt_l, -1, 0)[:B].astype(dtype)
+
+        # residuals + rho adaptation: same formulas as mpc_qp.run_phase,
+        # batched in XLA (one-shot ops, off the iteration hot path).
+        Gh = jnp.einsum("btj,bfj->btf", x.reshape(B, Nt, N_U), qp.hull_A)
+        Gt_x = jnp.einsum("btn,bn->bt", qp.G_term, x)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs(Gh - zh), axis=(1, 2)),
+            jnp.max(jnp.abs(Gt_x - zt), axis=1),
+        )
+        gty = (
+            jnp.einsum("btf,bfj->btj", yh_n, qp.hull_A).reshape(B, n)
+            + jnp.einsum("btn,bt->bn", qp.G_term, yt_n)
+        )
+        Hx = jnp.einsum("bij,bj->bi", qp.H, x)
+        dual_vec = Hx + qp.g + gty
+        r_dual = jnp.max(jnp.abs(dual_vec), axis=1)
+        prim_scale = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(Gh), axis=(1, 2)), jnp.max(jnp.abs(zh), axis=(1, 2))
+            ),
+            1e-6,
+        )
+        dual_scale = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Hx), axis=1), jnp.max(jnp.abs(qp.g), axis=1)),
+            1e-6,
+        )
+        ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
+        factor = jnp.clip(
+            jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip
+        )
+        rho_new = jnp.clip(rho * factor.astype(f32), cfg.rho_min, cfg.rho_max)
+        if cfg.phases == 1:
+            kinv_new = kinv
+        else:
+            K_next = H32 + cfg.sigma * eye[None] + rho_new[:, None, None] * M_rho
+            # exact-refactor per phase on the cold path (rho may jump 5x);
+            # Newton refresh when the caller carries a warm inverse.
+            kinv_new = (
+                exact_kinv(K_next)
+                if kinv0 is None
+                else newton_kinv(K_next, kinv, max(newton_iters, 2))
+            )
+        return (yh_n, yt_n, rho_new, x, zh, zt, kinv_new), (r_prim, r_dual)
+
+    # same cold start as mpc_qp: x = 0, z = min(G 0, h) = min(0, h)
+    x0 = jnp.zeros((B, n), dtype)
+    zh0 = jnp.minimum(jnp.zeros_like(qp.h_hull), qp.h_hull)
+    zt0 = jnp.minimum(jnp.zeros_like(qp.h_term), qp.h_term)
+    (yh, yt, rho, x, zh, zt, kinv), (rps, rds) = jax.lax.scan(
+        run_phase, (yh, yt, rho, x0, zh0, zt0, kinv), None, length=cfg.phases
+    )
+    return LanesSolution(
+        x=x, y_hull=yh, y_term=yt, r_prim=rps[-1], r_dual=rds[-1], rho=rho,
+        kinv=kinv,
+    )

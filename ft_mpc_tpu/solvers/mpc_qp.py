@@ -51,6 +51,11 @@ class StructuredADMMConfig(NamedTuple):
     rho_max: float = 1e6
     sigma: float = 1e-6
     alpha: float = 1.6
+    # Max per-phase rho-adaptation factor.  The lane-fused backend carries
+    # a Newton-refreshed K^{-1} across solves, which tracks bounded metric
+    # drift; 1.5 there.  5.0 (the OSQP-style default) on exact-refactor
+    # paths.
+    adapt_clip: float = 5.0
     # Run the inner iterations as one fused Pallas kernel (K^{-1} and the
     # constraint operator stay VMEM-resident across all iterations) instead
     # of the XLA op-by-op loop.  TPU only.
@@ -142,7 +147,7 @@ def solve_mpc_qp(
         )
         ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
         # Bound the per-phase change so a warm-carried rho stays stable.
-        factor = jnp.clip(jnp.sqrt(ratio), 0.2, 5.0)
+        factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
         rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
         return (x, zh, zt, yh, yt, rho_new), (r_prim, r_dual)
 

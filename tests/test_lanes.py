@@ -1,0 +1,183 @@
+"""Lane-fused Pallas QP backend vs the XLA structured-ADMM path.
+
+Runs on CPU in Pallas interpreter mode (conftest forces JAX_PLATFORMS=cpu);
+the same code compiles to fused kernels on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
+from ft_mpc_tpu.controllers.spiraling import (
+    MPCConfig,
+    MPCWeights,
+    get_control,
+    get_control_batch,
+    init_warmstart,
+    init_warmstart_batch,
+)
+from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
+from ft_mpc_tpu.sim.env import SimConfig, batched_rollout, batched_rollout_lanes
+from ft_mpc_tpu.solvers.lanes_qp import (
+    build_K,
+    exact_kinv,
+    newton_kinv,
+    solve_mpc_qp_lanes,
+)
+from ft_mpc_tpu.solvers.mpc_qp import (
+    StructuredADMMConfig,
+    StructuredMPCQP,
+    solve_mpc_qp,
+)
+from ft_mpc_tpu.utils.faults import BrokenThruster
+from ft_mpc_tpu.utils.trajectory import (
+    generate_trajectory,
+    prepare_center_trajectory,
+)
+
+
+def random_structured_qp(rng, B=4, Nt=15, F=32, T=64):
+    n = Nt * 6
+    Hq = rng.standard_normal((B, n, 24)).astype(np.float32)
+    H = np.einsum("bik,bjk->bij", Hq, Hq) * 0.1 + 2.0 * np.eye(n, dtype=np.float32)
+    g = rng.standard_normal((B, n)).astype(np.float32)
+    hull_A = rng.standard_normal((B, F, 6)).astype(np.float32)
+    h_hull = (np.abs(rng.standard_normal((B, Nt, F))) + 0.5).astype(np.float32)
+    G_term = (rng.standard_normal((B, T, n)) * 0.1).astype(np.float32)
+    h_term = (np.abs(rng.standard_normal((B, T))) + 0.5).astype(np.float32)
+    return StructuredMPCQP(
+        *[jnp.asarray(a) for a in (H, g, hull_A, h_hull, G_term, h_term)]
+    )
+
+
+def test_lanes_matches_xla_cold(rng):
+    qp = random_structured_qp(rng)
+    cfg = StructuredADMMConfig(iters=50, phases=2, rho=1.0)
+    s_ref = jax.vmap(lambda q: solve_mpc_qp(q, cfg))(qp)
+    s_lan = solve_mpc_qp_lanes(qp, cfg)
+    np.testing.assert_allclose(
+        np.asarray(s_lan.x), np.asarray(s_ref.x), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_lan.y_hull), np.asarray(s_ref.y_hull), atol=5e-4
+    )
+
+
+def test_lanes_warm_newton_refresh(rng):
+    qp = random_structured_qp(rng)
+    cfg2 = StructuredADMMConfig(iters=50, phases=2, rho=1.0)
+    cold = solve_mpc_qp_lanes(qp, cfg2)
+    # perturb H slightly (a relinearization-sized change) and re-solve warm
+    dH = 0.01 * jnp.einsum("bik,bjk->bij", qp.H[:, :, :4], qp.H[:, :, :4])
+    qp2 = qp._replace(H=qp.H + dH)
+    cfg1 = StructuredADMMConfig(iters=50, phases=1, rho=1.0, adapt_clip=1.5)
+    s_ref = jax.vmap(
+        lambda q, a, b, c: solve_mpc_qp(q, cfg1, y_hull0=a, y_term0=b, rho0=c)
+    )(qp2, cold.y_hull, cold.y_term, cold.rho)
+    s_lan = solve_mpc_qp_lanes(
+        qp2, cfg1, y_hull0=cold.y_hull, y_term0=cold.y_term, rho0=cold.rho,
+        kinv0=cold.kinv, newton_iters=3,
+    )
+    # same QP, slightly different (refreshed vs refactored) metric: both
+    # must reach comparable primal residuals and nearby iterates
+    assert float(s_lan.r_prim.max()) < 2.0 * float(s_ref.r_prim.max()) + 1e-3
+    np.testing.assert_allclose(
+        np.asarray(s_lan.x), np.asarray(s_ref.x), atol=5e-3
+    )
+
+
+def test_newton_kinv_accuracy_and_fallback(rng):
+    n, B = 90, 3
+    Ls = rng.standard_normal((B, n, n)).astype(np.float32) * 0.3
+    K = jnp.asarray(
+        np.einsum("bik,bjk->bij", Ls, Ls) + 3 * np.eye(n, dtype=np.float32)
+    )
+    kinv = exact_kinv(K)
+    eye = np.eye(n)
+    # warm refresh after a bounded drift
+    K2 = K * 1.3
+    X = newton_kinv(K2, kinv, 3)
+    resid = np.max(np.abs(np.einsum("bij,bjk->bik", np.asarray(K2), np.asarray(X)) - eye))
+    assert resid < 1e-3
+    # garbage warm start must trigger the contractive fallback, not NaNs
+    X_bad = newton_kinv(K, -5.0 * kinv, 3)
+    assert np.isfinite(np.asarray(X_bad)).all()
+    resid_bad = np.max(
+        np.abs(np.einsum("bij,bjk->bik", np.asarray(K), np.asarray(X_bad)) - eye)
+    )
+    assert resid_bad < 1.0  # contracting toward K^{-1}, no blow-up
+
+
+def _bank_setup(B=4, horizon=8):
+    dt = 0.1
+    params = BodyParams.default(dt)
+    pats = [
+        [],
+        [BrokenThruster(10, 1.0)],
+        [BrokenThruster(10, 1.0), BrokenThruster(11, 1.0)],
+        [BrokenThruster(3, 0.5)],
+    ]
+    uniq = [_build_scenario_with_terminal(params, f, DEFAULT_TUNING) for f in pats]
+    bank = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *uniq)
+    weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    cfg = MPCConfig(
+        horizon=horizon,
+        sqp_iters=2,
+        admm=StructuredADMMConfig(iters=30, phases=1, rho=50.0, adapt_clip=1.5),
+    )
+    traj = generate_trajectory("hover", dt, 10)
+    x_ref, u_ref = prepare_center_trajectory(
+        traj, np.array([0.0, 0.0, 0.6]), 16.8, dt, horizon + 1
+    )
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((B, 13))
+    x0[:, 0:3] = rng.uniform(-1, 1, (B, 3))
+    x0[:, 3:6] = rng.uniform(-0.3, 0.3, (B, 3))
+    q = rng.standard_normal((B, 4))
+    x0[:, 6:10] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    x0[:, 10:13] = rng.uniform(-0.3, 0.3, (B, 3))
+    return params, bank, weights, cfg, jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref)
+
+
+def test_get_control_batch_matches_vmap():
+    params, bank, weights, cfg, x0, x_ref_full, u_ref_full = _bank_setup()
+    Nt = cfg.horizon
+    x_ref = x_ref_full[: Nt + 1]
+    u_ref = u_ref_full[: Nt + 1]
+    c0 = jax.vmap(robot_to_center)(bank.r, x0)
+    warm_s = jax.vmap(lambda sc, c: init_warmstart(params, sc, cfg, c))(bank, c0)
+    warm_b = init_warmstart_batch(params, bank, weights, cfg, c0, x_ref, u_ref)
+    out_s = jax.vmap(
+        lambda sc, x, w: get_control(params, sc, weights, cfg, x, x_ref, u_ref, w)
+    )(bank, x0, warm_s)
+    out_b = get_control_batch(params, bank, weights, cfg, x0, x_ref, u_ref, warm_b)
+    # first solve: exact metric on both sides -> tight agreement
+    np.testing.assert_allclose(
+        np.asarray(out_b.u_phys), np.asarray(out_s.u_phys), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.wrench), np.asarray(out_s.wrench), atol=2e-2
+    )
+
+
+def test_batched_rollout_lanes_closed_loop():
+    params, bank, weights, cfg, x0, x_ref_full, u_ref_full = _bank_setup()
+    sim = SimConfig(steps=12, noise_mode="none")
+    keys = jax.random.split(jax.random.key(0), x0.shape[0])
+    h_l = batched_rollout_lanes(
+        params, bank, weights, cfg, sim, x0, x_ref_full, u_ref_full, keys
+    )
+    h_x = batched_rollout(
+        params, bank, weights, cfg, sim, x0, x_ref_full, u_ref_full, keys
+    )
+    assert np.isfinite(np.asarray(h_l.u_phys)).all()
+    assert np.isfinite(np.asarray(h_l.state)).all()
+    # same closed-loop trajectory class: states stay close over the window
+    dev = np.max(np.abs(np.asarray(h_l.state) - np.asarray(h_x.state)))
+    assert dev < 0.05, dev
+    # controller is actually controlling: position error shrinks
+    e0 = np.linalg.norm(np.asarray(h_l.c0[:, 0, 0:3] - h_l.x_ref0[:, 0, 0:3]), axis=1)
+    eT = np.linalg.norm(np.asarray(h_l.c0[:, -1, 0:3] - h_l.x_ref0[:, -1, 0:3]), axis=1)
+    assert (eT < e0).all()
