@@ -266,6 +266,63 @@ def _assemble_condensed(
     return qp, S_all, phi_all, defects
 
 
+def _assemble_condensed_batch(
+    params, bank, weights, cfg, X, U, x_ref, u_ref,
+    hull_A, hull_b, term_A, term_b,
+):
+    """Batched assembly: vmapped linearization, lane-fused condensing
+    kernel, plain batched einsums for the dense QP pieces.
+
+    Same math as vmap(_assemble_condensed); the condensing recursion runs
+    in one Pallas kernel instead of a 15-step XLA scan.
+    """
+    from ft_mpc_tpu.solvers.lanes_condense import condense_lanes
+
+    Nt = cfg.horizon
+    dtype = X.dtype
+    B = X.shape[0]
+    n_dec = Nt * N_U
+
+    A_stack, B_stack, defects = jax.vmap(
+        lambda sc, Xs, Us: _linearize(params, sc, cfg, Xs, Us, u_ref)
+    )(bank, X, U)
+
+    u_r_bar = jnp.einsum(
+        "btij,tj->bti", rot_full_inv(X[:, :-1, 9:13]), u_ref[:Nt]
+    )
+    stage_offset = (
+        U + u_r_bar + bank.u_comp[:, None, :] + bank.faulty_force_gen[:, None, :]
+    )
+    h_hull = hull_b[:, None, :] - jnp.einsum("bti,bfi->btf", stage_offset, hull_A)
+
+    S_all, phi_all = condense_lanes(A_stack, B_stack, defects)
+    S9 = S_all[:, :, :N_OPT, :]
+    e0 = X[:, 1:, :N_OPT] + phi_all[:, :, :N_OPT] - x_ref[None, 1:]
+
+    S9_run, e0_run = S9[:, :-1], e0[:, :-1]
+    S9_N, e0_N = S9[:, -1], e0[:, -1]
+    R_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), weights.R)
+    H = 2.0 * (
+        jnp.einsum("btin,ij,btjm->bnm", S9_run, weights.Q, S9_run)
+        + jnp.einsum("bin,bij,bjm->bnm", S9_N, bank.term.P, S9_N)
+        + R_blk[None]
+        + cfg.prox * jnp.eye(n_dec, dtype=dtype)[None]
+    )
+    g = 2.0 * (
+        jnp.einsum("btin,ij,btj->bn", S9_run, weights.Q, e0_run)
+        + jnp.einsum("bin,bij,bj->bn", S9_N, bank.term.P, e0_N)
+        + U.reshape(B, -1) @ R_blk
+    ) + jnp.einsum("bin,bi->bn", S9_N, bank.term.p)
+
+    G_term = jnp.einsum("bti,bin->btn", term_A, S9_N)
+    h_term = term_b - jnp.einsum("bti,bi->bt", term_A, e0_N)
+
+    qp = StructuredMPCQP(
+        H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
+    )
+    return qp, S_all, phi_all, defects
+
+
 def _merit_alpha(
     params, scenario, weights, cfg, X, U, dX, dU, x_ref, u_ref,
     hull_A, hull_b, term_A, term_b,
@@ -463,10 +520,8 @@ def sqp_solve_batch(
 
     # params/weights/cfg/x_ref/u_ref are loop-invariant: close over them
     # (cfg carries non-array leaves vmap must not traverse).
-    assemble = jax.vmap(
-        lambda sc, X, U, hA, hb, tA, tb: _assemble_condensed(
-            params, sc, weights, cfg, X, U, x_ref, u_ref, hA, hb, tA, tb
-        )
+    assemble = lambda sc, X, U, hA, hb, tA, tb: _assemble_condensed_batch(
+        params, sc, weights, cfg, X, U, x_ref, u_ref, hA, hb, tA, tb
     )
     line_search = jax.vmap(
         lambda sc, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
@@ -591,11 +646,10 @@ def init_warmstart_batch(
 
     warm = jax.vmap(lambda sc, c: init_warmstart(params, sc, cfg, c))(bank, c0)
     hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
-    qp, _, _, _ = jax.vmap(
-        lambda sc, X, U, hA, hb, tA, tb: _assemble_condensed(
-            params, sc, weights, cfg, X, U, x_ref, u_ref, hA, hb, tA, tb
-        )
-    )(bank, warm.X, warm.U, hull_A, hull_b, term_A, term_b)
+    qp, _, _, _ = _assemble_condensed_batch(
+        params, bank, weights, cfg, warm.X, warm.U, x_ref, u_ref,
+        hull_A, hull_b, term_A, term_b,
+    )
     K, _ = build_K(qp, warm.rho.astype(jnp.float32), cfg.admm.sigma)
     return warm._replace(kinv=exact_kinv(K))
 
