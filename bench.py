@@ -96,24 +96,31 @@ def main(B: int | None = None):
         )
     )(bank, x0)
 
-    step = jax.jit(
-        lambda b, x, w: get_control_batch(
-            params, b, weights, cfg, x, x_ref, u_ref, w
-        )
-    )
+    # Timed: repeated batched control steps with warm-start carry (the
+    # steady-state regime of a deployed controller).  The rep loop runs
+    # inside ONE jitted program: the TPU here sits behind an HTTP tunnel
+    # whose per-dispatch round trip is large and highly variable, so
+    # per-call timing measures the tunnel, not the device.  Each rep
+    # chains the previous rep's warm start, so no rep can be served from
+    # the tunnel's identical-execution cache.
+    n_reps = 10
 
-    # Warm-up / compile
-    out = step(bank, x0, warm)
+    @jax.jit
+    def run_n(b, x, w):
+        def body(i, w):
+            out = get_control_batch(params, b, weights, cfg, x, x_ref, u_ref, w)
+            return out.warm
+        w = jax.lax.fori_loop(0, n_reps - 1, body, w)
+        return get_control_batch(params, b, weights, cfg, x, x_ref, u_ref, w)
+
+    # Warm-up / compile.  The timed call takes the warm-up's output warm
+    # start (steady-state regime), which also guarantees its inputs differ
+    # from the warm-up call's -- the tunnel memoizes identical executions.
+    out = run_n(bank, x0, warm)
     jax.block_until_ready(out)
 
-    # Timed: repeated batched control steps with warm-start carry (the
-    # steady-state regime of a deployed controller).
-    n_reps = 10
     t0 = time.perf_counter()
-    w = warm
-    for _ in range(n_reps):
-        out = step(bank, x0, w)
-        w = out.warm
+    out = run_n(bank, x0, out.warm)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     solves_per_s = B * n_reps / elapsed

@@ -77,10 +77,13 @@ def _interpret() -> bool:
 
 def exact_kinv(K: jnp.ndarray) -> jnp.ndarray:
     """Batched explicit inverse via Cholesky (cold-start path)."""
-    n = K.shape[-1]
-    chol = jnp.linalg.cholesky(K)
-    eye = jnp.eye(n, dtype=K.dtype)
-    return jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(chol)
+    with jax.default_matmul_precision("highest"):
+        n = K.shape[-1]
+        chol = jnp.linalg.cholesky(K)
+        eye = jnp.eye(n, dtype=K.dtype)
+        return jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(
+            chol
+        )
 
 
 def newton_kinv(K: jnp.ndarray, X0: jnp.ndarray, iters: int) -> jnp.ndarray:
@@ -94,7 +97,12 @@ def newton_kinv(K: jnp.ndarray, X0: jnp.ndarray, iters: int) -> jnp.ndarray:
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
-    Y = jnp.einsum("bij,bjk->bik", K, X0)
+    # K has condition ~1e5: single-pass bf16 matmuls stall the contraction
+    # (the Newton residual cannot drop below the arithmetic error, the
+    # safe-restart guard then fires every step and the carried metric never
+    # converges).  Pin full fp32 here regardless of the global default.
+    prec = jax.lax.Precision.HIGHEST
+    Y = jnp.einsum("bij,bjk->bik", K, X0, precision=prec)
     # Per-scenario divergence guard: Newton contracts iff ||I - s K X0|| < 1.
     # Where the carried metric has drifted too far (e.g. a fault switch
     # rewrote H), restart from X = K / (||K||_1 ||K||_inf), which is
@@ -109,12 +117,14 @@ def newton_kinv(K: jnp.ndarray, X0: jnp.ndarray, iters: int) -> jnp.ndarray:
     X_safe = K / jnp.maximum(norm1 * norm_inf, 1e-30)[:, None, None]
     use_safe = (resid >= 1.0)[:, None, None]
     X = jnp.where(use_safe, X_safe, s * X0)
-    Y = jnp.where(use_safe, jnp.einsum("bij,bjk->bik", K, X_safe), s * Y)
+    Y = jnp.where(
+        use_safe, jnp.einsum("bij,bjk->bik", K, X_safe, precision=prec), s * Y
+    )
     for i in range(iters):
-        X = 2.0 * X - jnp.einsum("bij,bjk->bik", X, Y)
+        X = 2.0 * X - jnp.einsum("bij,bjk->bik", X, Y, precision=prec)
         X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
         if i < iters - 1:
-            Y = jnp.einsum("bij,bjk->bik", K, X)
+            Y = jnp.einsum("bij,bjk->bik", K, X, precision=prec)
     return X
 
 
@@ -128,8 +138,13 @@ def build_K(
     B, n = qp.g.shape
     Nt = qp.h_hull.shape[1]
     f32 = jnp.float32
-    AhTAh = jnp.einsum("bfi,bfj->bij", qp.hull_A, qp.hull_A).astype(f32)
-    GtTGt = jnp.einsum("bti,btj->bij", qp.G_term, qp.G_term).astype(f32)
+    prec = jax.lax.Precision.HIGHEST  # K feeds the Newton-refreshed inverse
+    AhTAh = jnp.einsum(
+        "bfi,bfj->bij", qp.hull_A, qp.hull_A, precision=prec
+    ).astype(f32)
+    GtTGt = jnp.einsum(
+        "bti,btj->bij", qp.G_term, qp.G_term, precision=prec
+    ).astype(f32)
     eye_nt = jnp.eye(Nt, dtype=f32)
     blk = jax.vmap(lambda M: jnp.kron(eye_nt, M))(AhTAh)
     M_rho = blk + GtTGt
