@@ -64,12 +64,15 @@ def main(B: int | None = None):
     bank = jax.tree.map(lambda x: np.tile(x, (reps,) + (1,) * (x.ndim - 1)), bank_small)
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    # Deployed fast config: 2 warm-started RTI-SQP iterations, 40 lane-fused
+    # ADMM iterations, Newton-refreshed inverse metric (tight adapt_clip
+    # keeps the carried metric trackable).  Gated by benchmarks/accuracy.py
+    # (same config there): steady-state thruster deviation vs the float64
+    # 5-SQP-iteration golden is <0.05 N (~1.4% of max thrust).
     cfg = MPCConfig(
         horizon=horizon,
-        sqp_iters=3,
-        # lane-fused Pallas ADMM + Newton-refreshed inverse metric; the
-        # tighter adapt_clip keeps the carried metric trackable.
-        admm=StructuredADMMConfig(iters=30, phases=1, rho=50.0, adapt_clip=1.5),
+        sqp_iters=2,
+        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
         newton_iters=3,
     )
 

@@ -8,7 +8,7 @@ wholesale here, so accuracy is measured two ways:
      the NLP's optimality conditions to ~1e-6 feasibility -- solver-
      independent, i.e. the same first-order conditions IPOPT enforces.
   2. This script: closed-loop control-sequence deviation between the
-     deployed fast config (fp32-class effort, 3 SQP iterations, one ADMM
+     deployed fast config (fp32-class effort, 2 SQP iterations, one ADMM
      phase) and an internal golden run (float64, 5 SQP iterations, 6
      adaptive ADMM phases to ~1e-14 QP residuals).
 
@@ -60,7 +60,11 @@ def main():
         horizon=15, sqp_iters=5,
         admm=StructuredADMMConfig(iters=100, phases=4, rho=1.0),
     )
-    fast_cfg = MPCConfig(horizon=15, sqp_iters=3)
+    # Must mirror the deployed config bench.py measures.
+    fast_cfg = MPCConfig(
+        horizon=15, sqp_iters=2,
+        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
+    )
 
     h_gold = rollout(params, sc, weights, golden_cfg, sim, *args)
     h_fast = rollout(params, sc, weights, fast_cfg, sim, *args)
