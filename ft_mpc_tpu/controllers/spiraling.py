@@ -669,13 +669,25 @@ def get_control_batch(
     Batched equivalent of vmap(get_control): same transform + allocation
     (vmapped), but the SQP/QP core runs through `sqp_solve_batch`.
     """
+    from ft_mpc_tpu.solvers.lanes_alloc import allocate_thrusters_lanes
+
     c0 = jax.vmap(robot_to_center)(bank.r, x0)
     new_warm, info = sqp_solve_batch(
         params, bank, weights, cfg, c0, x_ref, u_ref, warm
     )
-    u_res, alloc = jax.vmap(
-        lambda sc, c, u0: _finalize_control(params, sc, c, u0, u_ref[0])
-    )(bank, c0, new_warm.U[:, 0])
+    # Same wrench transform as _finalize_control, batched; allocation runs
+    # through the lane-fused kernel (one launch per 128-scenario tile
+    # instead of ~100 tiny vmapped XLA kernels).
+    u_nom = jnp.einsum(
+        "bij,j->bi", jax.vmap(rot_full_inv)(c0[:, 9:13]), u_ref[0]
+    )
+    u_res = new_warm.U[:, 0] + u_nom + bank.u_comp
+    u_res = jnp.einsum("bij,bj->bi", jax.vmap(rot_full)(bank.beta), u_res)
+    alloc = allocate_thrusters_lanes(
+        u_res, params.D, bank.u_ub, bank.faulty_force_gen,
+        bank.hull_A, bank.hull_b, bank.hull_mask,
+        bank.gen_G, bank.gen_c, bank.gen_L, params.max_thrust,
+    )
     return ControlOutput(
         u_phys=alloc.u_phys,
         wrench=u_res,

@@ -1,0 +1,318 @@
+"""Lane-fused thruster allocation: FISTA projection + allocation ADMM in
+one Pallas kernel, scenarios in the lane dimension.
+
+`allocate_thrusters` (`solvers/allocation.py`) under vmap costs ~7 ms per
+batched control step at B=2048 on v5e: ~100 iterations (60 FISTA + 40
+ADMM) of 6/16-wide ops dominated by kernel-launch overhead and a batched
+16x16 Cholesky that XLA lowers to unrolled scalar loops.  Here the whole
+path runs in one kernel per 128-scenario lane tile, with two structural
+wins:
+
+  * The allocation-QP normal matrix is diagonal-plus-rank-6:
+    K = (2 + sigma) I + rho_box(u_ub) + D^T rho_eq D with D the shared
+    (6, 16) thruster map.  The x-update uses Woodbury with a 6x6 capacitance
+    matrix inverted once per solve by an unrolled in-kernel Gauss-Jordan --
+    no batched 16x16 factorization anywhere.
+  * All FISTA/ADMM iterations are full-width VPU ops on VMEM-resident
+    state; one launch per tile instead of hundreds of tiny XLA kernels.
+
+Semantics match `allocate_thrusters` with generator data (the deployed
+path): same FISTA schedule, same OSQP-style iteration with equality-rho
+boosting, same fallback selection.  Reference parity: this is the per-step
+thruster-allocation QP + infeasibility projection the reference solves
+with CVXPY/OSQP and daqp (`ft_mpc/controllers/tools/control_allocator.py:
+27-40,42-63,65-95`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ft_mpc_tpu.solvers.allocation import AllocationResult
+
+LANES = 128
+N_W = 6
+N_T = 16
+_BIG = 1e8
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _gauss_jordan6(W):
+    """Inverse of an SPD (6, 6, L) batch of matrices, fully unrolled.
+
+    No pivoting: W = I/rho_eq + D Dia^{-1} D^T is SPD with a bounded-away
+    diagonal, so the natural pivot order is numerically safe.
+    """
+    n = W.shape[0]
+    eye = jnp.eye(n, dtype=W.dtype)
+    aug = jnp.concatenate([W, jnp.broadcast_to(eye[:, :, None], W.shape)], axis=1)
+    for p in range(n):
+        piv_row = aug[p] / aug[p, p][None, :]  # (2n, L)
+        col = aug[:, p, :]  # (n, L)
+        aug = aug - col[:, None, :] * piv_row[None, :, :]
+        rows = [aug[i] for i in range(n)]
+        rows[p] = piv_row
+        aug = jnp.stack(rows, axis=0)
+    return aug[:, n:, :]  # (n, n, L)
+
+
+def _alloc_kernel(
+    D_ref,  # (6, 16) shared thruster map
+    w_ref,  # (6, L) commanded wrench
+    ff_ref,  # (6, L) stuck-on fault wrench
+    uub_ref,  # (16, L) per-thruster upper bounds
+    hA_ref,  # (F, 6, L) masked hull rows
+    hb_ref,  # (F, L)
+    G_ref,  # (6, 16, L) zonotope generators
+    c_ref,  # (6, L) zonotope center
+    Li_ref,  # (1, L) 1 / Lipschitz constant
+    mt_ref,  # (1, L) max thrust
+    u_out,  # (16, L)
+    wdes_out,  # (6, L)
+    flags_out,  # (3, L): was_clipped, used_fallback, eq_err
+    *,
+    fista_iters: int,
+    admm_iters: int,
+    rho: float,
+    rho_eq_scale: float,
+    sigma: float,
+    alpha: float,
+):
+    f32 = jnp.float32
+    D = D_ref[:]  # (6, 16)
+    w_cmd = w_ref[:]
+    ff = ff_ref[:]
+    u_ub = uub_ref[:]
+    hA = hA_ref[:]
+    hb = hb_ref[:]
+    G = G_ref[:]
+    c = c_ref[:]
+    step = Li_ref[0, :]  # (L,)
+    max_thrust = mt_ref[0, :]
+
+    L = w_cmd.shape[-1]
+    w_total = w_cmd + ff  # (6, L)
+
+    # --- feasibility test against the hull ------------------------------
+    hAw = jnp.sum(hA * w_total[None, :, :], axis=1)  # (F, L)
+    feasible = jnp.all(hAw <= hb + 1e-7, axis=0)  # (L,) bool
+
+    # --- FISTA projection onto the zonotope -----------------------------
+    def fista_body(_, carry):
+        theta, eta, t = carry
+        r = jnp.sum(G * eta[None, :, :], axis=1) + c - w_total  # (6, L)
+        grad = jnp.sum(G * r[:, None, :], axis=0)  # (16, L)
+        theta_new = jnp.clip(eta - step[None, :] * grad, 0.0, 1.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        eta_new = theta_new + ((t - 1.0) / t_new) * (theta_new - theta)
+        return (theta_new, eta_new, t_new)
+
+    theta0 = jnp.full((N_T, L), 0.5, f32)
+    theta, _, _ = jax.lax.fori_loop(
+        0, fista_iters, fista_body, (theta0, theta0, jnp.asarray(1.0, f32))
+    )
+    w_proj = c + jnp.sum(G * theta[None, :, :], axis=1)  # (6, L)
+
+    w_clipped = jnp.where(feasible[None, :], w_total, w_proj)
+    u_fallback = jnp.clip(theta * max_thrust[None, :], 0.0, u_ub)
+    w_des = w_clipped - ff  # (6, L)
+
+    # --- allocation ADMM: min |u|^2 s.t. D u = w_des, 0 <= u <= u_ub ----
+    # rho per row: equality rows (D) and pinned thrusters (u_ub == 0) boosted.
+    rho_eq = rho * rho_eq_scale
+    rho_box = jnp.where(u_ub <= 1e-12, rho * rho_eq_scale, rho)  # (16, L)
+
+    # Woodbury pieces: K = Dia + D^T rho_eq D, Dia = (2 + sigma) I + rho_box.
+    # (Mosaic lowers broadcast-multiply-sum but not general einsum
+    # contractions; all small contractions below are written explicitly.)
+    di = 1.0 / (2.0 + sigma + rho_box)  # (16, L)
+    DD = D[:, None, :] * D[None, :, :]  # (6, 6, 16)
+    W = jnp.eye(N_W, dtype=f32)[:, :, None] / rho_eq + jnp.sum(
+        DD[:, :, :, None] * di[None, None, :, :], axis=2
+    )
+    Winv = _gauss_jordan6(W)  # (6, 6, L)
+
+    def d_mul(v):  # (16, L) -> (6, L): D @ v
+        return jnp.sum(D[:, :, None] * v[None, :, :], axis=1)
+
+    def dt_mul(v):  # (6, L) -> (16, L): D^T @ v
+        return jnp.sum(D[:, :, None] * v[:, None, :], axis=0)
+
+    def kinv_apply(v):  # (16, L) -> (16, L)
+        t = di * v
+        s = d_mul(t)  # (6, L)
+        r = jnp.sum(Winv * s[None, :, :], axis=1)  # (6, L)
+        return t - di * dt_mul(r)
+
+    # z layout: eq block (6, L) then box block (16, L); x0 = 0, y0 = 0,
+    # z0 = clip(A 0, l, u) = (w_des, 0).
+    x = jnp.zeros((N_T, L), f32)
+    z_eq = w_des
+    z_box = jnp.zeros((N_T, L), f32)
+    y_eq = jnp.zeros((N_W, L), f32)
+    y_box = jnp.zeros((N_T, L), f32)
+
+    def admm_body(_, carry):
+        x, z_eq, z_box, y_eq, y_box = carry
+        rhs = (
+            sigma * x
+            + dt_mul(rho_eq * z_eq - y_eq)
+            + (rho_box * z_box - y_box)
+        )
+        x_t = kinv_apply(rhs)
+        x_new = alpha * x_t + (1.0 - alpha) * x
+        Dx = d_mul(x_t)
+        zh_eq = alpha * Dx + (1.0 - alpha) * z_eq
+        zh_box = alpha * x_t + (1.0 - alpha) * z_box
+        z_eq_new = w_des  # clip(v, w_des, w_des)
+        z_box_new = jnp.clip(zh_box + y_box / rho_box, 0.0, u_ub)
+        y_eq_new = y_eq + rho_eq * (zh_eq - z_eq_new)
+        y_box_new = y_box + rho_box * (zh_box - z_box_new)
+        return (x_new, z_eq_new, z_box_new, y_eq_new, y_box_new)
+
+    x, z_eq, z_box, y_eq, y_box = jax.lax.fori_loop(
+        0, admm_iters, admm_body, (x, z_eq, z_box, y_eq, y_box)
+    )
+
+    u = jnp.clip(x, 0.0, u_ub)
+    eq_err = jnp.max(jnp.abs(d_mul(u) - w_des), axis=0)  # (L,)
+    fb_err = jnp.max(jnp.abs(d_mul(u_fallback) - w_des), axis=0)
+    use_fb = fb_err < eq_err - 1e-9
+    u = jnp.where(use_fb[None, :], u_fallback, u)
+
+    u_out[:] = u
+    wdes_out[:] = w_des
+    flags_out[:] = jnp.stack(
+        [
+            jnp.where(feasible, 0.0, 1.0),
+            jnp.where(use_fb, 1.0, 0.0),
+            jnp.where(use_fb, fb_err, eq_err),
+        ],
+        axis=0,
+    )
+
+
+def _pad(x, Bp):
+    B = x.shape[0]
+    if B == Bp:
+        return x
+    return jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
+
+
+def _lanes(x):
+    return jnp.moveaxis(x, 0, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fista_iters", "admm_iters", "rho", "rho_eq_scale", "sigma", "alpha",
+    ),
+)
+def allocate_thrusters_lanes(
+    wrench_cmd: jnp.ndarray,  # (B, 6)
+    D: jnp.ndarray,  # (6, 16) shared
+    u_ub: jnp.ndarray,  # (B, 16)
+    faulty_force_gen: jnp.ndarray,  # (B, 6)
+    hull_A: jnp.ndarray,  # (B, F, 6)
+    hull_b: jnp.ndarray,  # (B, F)
+    hull_mask: jnp.ndarray,  # (B, F)
+    gen_G: jnp.ndarray,  # (B, 6, 16)
+    gen_c: jnp.ndarray,  # (B, 6)
+    gen_L: jnp.ndarray,  # (B,)
+    max_thrust,
+    fista_iters: int = 60,
+    admm_iters: int = 40,
+    rho: float = 1.0,
+    rho_eq_scale: float = 1e3,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+) -> AllocationResult:
+    """Batched allocation on the lane-fused backend.
+
+    Drop-in batched equivalent of vmap(allocate_thrusters) on the
+    generator-data path, with identical iteration schedules.
+    """
+    B = wrench_cmd.shape[0]
+    F = hull_A.shape[1]
+    dtype = wrench_cmd.dtype
+    f32 = jnp.float32
+    Bp = -(-B // LANES) * LANES
+
+    hA = hull_A * hull_mask[:, :, None]
+    hb = jnp.where(hull_mask > 0.5, hull_b, _BIG)
+    step = 1.0 / jnp.maximum(gen_L.astype(f32), 1e-12)
+    mt = jnp.broadcast_to(jnp.asarray(max_thrust, f32), (B,))
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            dims + (LANES,),
+            lambda b, _nd=nd: (0,) * _nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    shared_spec = pl.BlockSpec((N_W, N_T), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _alloc_kernel,
+        fista_iters=int(fista_iters),
+        admm_iters=int(admm_iters),
+        rho=float(rho),
+        rho_eq_scale=float(rho_eq_scale),
+        sigma=float(sigma),
+        alpha=float(alpha),
+    )
+    u_l, wdes_l, flags_l = pl.pallas_call(
+        kernel,
+        grid=(Bp // LANES,),
+        in_specs=[
+            shared_spec,
+            spec(N_W),
+            spec(N_W),
+            spec(N_T),
+            spec(F, N_W),
+            spec(F),
+            spec(N_W, N_T),
+            spec(N_W),
+            spec(1),
+            spec(1),
+        ],
+        out_specs=[spec(N_T), spec(N_W), spec(3)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_T, Bp), f32),
+            jax.ShapeDtypeStruct((N_W, Bp), f32),
+            jax.ShapeDtypeStruct((3, Bp), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(
+        D.astype(f32),
+        _lanes(_pad(wrench_cmd.astype(f32), Bp)),
+        _lanes(_pad(faulty_force_gen.astype(f32), Bp)),
+        _lanes(_pad(u_ub.astype(f32), Bp)),
+        _lanes(_pad(hA.astype(f32), Bp)),
+        _lanes(_pad(hb.astype(f32), Bp)),
+        _lanes(_pad(gen_G.astype(f32), Bp)),
+        _lanes(_pad(gen_c.astype(f32), Bp)),
+        _lanes(_pad(step, Bp)).reshape(1, Bp),
+        _lanes(_pad(mt, Bp)).reshape(1, Bp),
+    )
+    u = jnp.moveaxis(u_l, -1, 0)[:B].astype(dtype)
+    w_des = jnp.moveaxis(wdes_l, -1, 0)[:B].astype(dtype)
+    flags = jnp.moveaxis(flags_l, -1, 0)[:B]
+    return AllocationResult(
+        u_phys=u,
+        wrench_clipped=w_des,
+        was_clipped=flags[:, 0] > 0.5,
+        r_prim=flags[:, 2].astype(dtype),
+        used_fallback=flags[:, 1] > 0.5,
+    )
