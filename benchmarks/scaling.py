@@ -1,8 +1,9 @@
 """Multi-device scaling-efficiency benchmark (scenario-sharded batches).
 
 On a TPU pod slice this measures the BASELINE.md target "scaling efficiency
-at 2+ hosts": weak scaling of batched MPC control steps with the scenario
-axis sharded over the mesh (`ft_mpc_tpu.parallel`).  Scenarios are
+at 2+ hosts": weak scaling of batched MPC control steps on the DEPLOYED
+lane-fused backend (the one bench.py measures), with the scenario axis
+sharded over the mesh (`ft_mpc_tpu.parallel.sharded_control_step_lanes`).  Scenarios are
 embarrassingly parallel -- cross-chip traffic is one scalar psum per step --
 so efficiency should be near 1.0; this harness exists to *verify* that on
 real hardware and catch regressions (e.g. accidental resharding).
@@ -30,14 +31,15 @@ def run(n_devices: int, per_device: int, horizon: int = 15, reps: int = 5):
     from ft_mpc_tpu.controllers.spiraling import (
         MPCConfig,
         MPCWeights,
-        init_warmstart,
+        init_warmstart_batch,
     )
     from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
     from ft_mpc_tpu.parallel.mesh import (
         make_scenario_mesh,
         shard_scenario_batch,
-        sharded_control_step,
+        sharded_control_step_lanes,
     )
+    from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
     from ft_mpc_tpu.utils.faults import BrokenThruster
     from ft_mpc_tpu.utils.trajectory import (
         generate_trajectory,
@@ -58,7 +60,12 @@ def run(n_devices: int, per_device: int, horizon: int = 15, reps: int = 5):
     bank = jax.tree.map(lambda x: np.tile(x, (B // 2,) + (1,) * (x.ndim - 1)), bank)
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
-    cfg = MPCConfig(horizon=horizon)
+    # deployed fast config (same as bench.py) on the lane-fused backend
+    cfg = MPCConfig(
+        horizon=horizon, sqp_iters=2,
+        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
+        newton_iters=3,
+    )
 
     traj = generate_trajectory("hover", dt, 5)
     x_ref, u_ref = prepare_center_trajectory(
@@ -72,21 +79,28 @@ def run(n_devices: int, per_device: int, horizon: int = 15, reps: int = 5):
     x0[:, 9] = 1.0
     x0[:, 0:3] = rng.uniform(-1, 1, (B, 3))
 
-    scenarios = shard_scenario_batch(mesh, bank)
-    x0 = shard_scenario_batch(mesh, jnp.asarray(x0))
+    # warm start on the unsharded bank (fresh zero arrays inside the
+    # builder would otherwise mix shardings under vmap), then shard all.
+    x0 = jnp.asarray(x0)
     warm = jax.jit(
-        jax.vmap(lambda sc, x: init_warmstart(params, sc, cfg, robot_to_center(sc.r, x)))
-    )(scenarios, x0)
+        lambda b, x: init_warmstart_batch(
+            params, b, weights, cfg,
+            jax.vmap(robot_to_center)(b.r, x), x_ref, u_ref,
+        )
+    )(jax.tree.map(jnp.asarray, bank), x0)
+    scenarios = shard_scenario_batch(mesh, bank)
+    x0 = shard_scenario_batch(mesh, x0)
+    warm = shard_scenario_batch(mesh, warm)
 
-    out, metrics = sharded_control_step(
+    out, metrics = sharded_control_step_lanes(
         mesh, params, scenarios, weights, cfg, x0, x_ref, u_ref, warm
     )
     jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
-    w = warm
+    w = out.warm
     for i in range(reps):
-        out, metrics = sharded_control_step(
+        out, metrics = sharded_control_step_lanes(
             mesh, params, scenarios, weights, cfg, x0 + 1e-4 * (i + 1), x_ref,
             u_ref, w,
         )

@@ -29,7 +29,8 @@ from ft_mpc_tpu.controllers.spiraling import (
     init_warmstart,
     shift_warmstart,
 )
-from ft_mpc_tpu.geometry.scenario import Scenario, TerminalQuadratic, build_scenario
+from ft_mpc_tpu.geometry.scenario import Scenario, build_scenario
+from ft_mpc_tpu.terminal.poly import quadratic_terminal
 from ft_mpc_tpu.ops.dynamics import BodyParams, robot_step, robot_to_center
 from ft_mpc_tpu.ops.quaternion import quat_normalize
 from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
@@ -51,17 +52,20 @@ def _build_scenario_with_terminal(
     params: BodyParams,
     faults: Sequence[BrokenThruster],
     tuning: dict,
-    terminal_mode: str = "quadratic",
+    terminal_mode: str = "empc",
     cache_dir: str | None = None,
 ) -> Scenario:
     """Compile a fault pattern + tuning into a Scenario with terminal data.
 
     terminal_mode:
-      'quadratic' -- fast DARE/Lyapunov ingredients (default; milliseconds).
+      'quadratic' -- fast DARE/Lyapunov ingredients (milliseconds).
       'empc'      -- full offline pipeline (`ft_mpc_tpu.terminal.pipeline`):
                      certified input-bound box, per-axis eMPC value-function
-                     bound sampled via batched QPs, MCAIS terminal set.
+                     bound sampled via batched QPs, MCAIS terminal set, and
+                     the polynomial cross-term cost tables (default).
                      Cached to disk per (fault pattern, tuning).
+      '<path>.yaml' -- import a reference-format terminal.yaml artifact
+                     (`ft_mpc_tpu.terminal.reference_io`), parsed as data.
     """
     D = np.asarray(params.D)
     ff = np.zeros(16)
@@ -79,12 +83,18 @@ def _build_scenario_with_terminal(
             float(params.dt),
             time_scaling=float(tuning.get("time_scaling", 5)),
         )
+        term = quadratic_terminal(P9, p9, c)
+    elif str(terminal_mode).endswith((".yaml", ".yml")):
+        from ft_mpc_tpu.terminal.reference_io import load_reference_terminal_yaml
+
+        term, tset = load_reference_terminal_yaml(terminal_mode)
     elif terminal_mode == "empc":
         from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
         from ft_mpc_tpu.terminal.pipeline import (
             cache_key,
             compute_terminal_ingredients,
             load_terminal_ingredients,
+            plant_fingerprint,
             save_terminal_ingredients,
         )
 
@@ -92,7 +102,7 @@ def _build_scenario_with_terminal(
             Path(__file__).parent / "config" / "terminal_cache"
         )
         cdir.mkdir(parents=True, exist_ok=True)
-        cpath = cdir / f"{cache_key(faults, tuning)}.npz"
+        cpath = cdir / f"{cache_key(faults, tuning, plant_fingerprint(params))}.npz"
         if cpath.exists():
             ti = load_terminal_ingredients(cpath)
         else:
@@ -101,31 +111,52 @@ def _build_scenario_with_terminal(
                 D, float(params.max_thrust), broken,
                 ff / float(params.max_thrust),
             )
-            ti = compute_terminal_ingredients(
-                hull=hull,
-                M=sp.M,
-                f_virt6=np.concatenate([sp.f_virt, np.zeros(3)]),
-                omega_des=sp.omega_des,
-                r=sp.r,
-                mass=float(params.mass),
-                inertia=np.asarray(params.inertia),
-                dt=float(params.dt),
-                Q=np.asarray(tuning["Q"], dtype=np.float64),
-                R=np.asarray(tuning["R"], dtype=np.float64),
-                k_omega=tuning.get("k_omega", [1.0, 1.0, 1.0]),
-                max_acceleration=float(tuning.get("max_acceleration", 0.0)),
-                time_scaling=float(tuning.get("time_scaling", 5)),
-                empc_horizon=int(tuning.get("empc_horizon", 3)),
-            )
+            try:
+                ti = compute_terminal_ingredients(
+                    hull=hull,
+                    M=sp.M,
+                    f_virt6=np.concatenate([sp.f_virt, np.zeros(3)]),
+                    omega_des=sp.omega_des,
+                    r=sp.r,
+                    mass=float(params.mass),
+                    inertia=np.asarray(params.inertia),
+                    dt=float(params.dt),
+                    Q=np.asarray(tuning["Q"], dtype=np.float64),
+                    R=np.asarray(tuning["R"], dtype=np.float64),
+                    k_omega=tuning.get("k_omega", [1.0, 1.0, 1.0]),
+                    max_acceleration=float(tuning.get("max_acceleration", 0.0)),
+                    time_scaling=float(tuning.get("time_scaling", 5)),
+                    empc_horizon=int(tuning.get("empc_horizon", 3)),
+                )
+            except RuntimeError as err:
+                # Pattern not certifiable (no feasible eMPC input box inside
+                # the fault-reshaped acceleration set -- the reference's
+                # terminal NLP, `terminal_ingredients.py:57-166`, is equally
+                # infeasible there).  Keep controlling with the uncertified
+                # quadratic ingredients; the fallback is cached and recorded
+                # in meta so downstream tooling can see it.
+                from ft_mpc_tpu.terminal.pipeline import TerminalIngredients
+
+                P9, p9, c, tset_q = quadratic_terminal_ingredients(
+                    np.asarray(tuning["Q"], dtype=np.float64),
+                    np.asarray(tuning["R"], dtype=np.float64),
+                    sp.M,
+                    tuning.get("k_omega", [1.0, 1.0, 1.0]),
+                    float(params.dt),
+                    time_scaling=float(tuning.get("time_scaling", 5)),
+                )
+                ti = TerminalIngredients(
+                    P9=P9, p9=p9, c=c,
+                    term=quadratic_terminal(P9, p9, c),
+                    term_set=tset_q,
+                    emax=np.zeros(3), r_empc=0.0,
+                    meta={"fallback": "quadratic", "reason": str(err)},
+                )
             save_terminal_ingredients(ti, cpath)
-        P9, p9, c, tset = ti.P9, ti.p9, ti.c, ti.term_set
+        term, tset = ti.term, ti.term_set
     else:
         raise ValueError(f"unknown terminal_mode {terminal_mode}")
 
-    f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
-    term = TerminalQuadratic(
-        P=P9.astype(f_dtype), p=p9.astype(f_dtype), c=np.asarray(c, dtype=f_dtype)
-    )
     return build_scenario(params, faults, terminal=term, terminal_set=tset)
 
 
@@ -137,7 +168,7 @@ class SpiralingMPC:
         params: BodyParams,
         faults: Sequence[BrokenThruster] = (),
         tuning: dict | None = None,
-        terminal_mode: str = "quadratic",
+        terminal_mode: str = "empc",
     ):
         self.params = params
         self.tuning = {**DEFAULT_TUNING, **(tuning or {})}
@@ -165,6 +196,10 @@ class SpiralingMPC:
         self.scenario = _build_scenario_with_terminal(
             self.params, self.faults, self.tuning, terminal_mode=self.terminal_mode
         )
+        # The carried warm start (trajectory, duals, metric) describes the
+        # pre-fault problem; re-initialize from the next measured state
+        # instead of feeding stale information into the reshaped problem.
+        self._warm = None
         if self.trajectory is not None:
             # Re-prepare: omega_des may change with the new orbit parameters.
             self.assign_trajectory(self._raw_traj)

@@ -38,6 +38,7 @@ from ft_mpc_tpu.controllers.spiraling import (
 from ft_mpc_tpu.geometry.scenario import Scenario
 from ft_mpc_tpu.ops.dynamics import BodyParams
 from ft_mpc_tpu.ops.quaternion import rot_full_inv
+from ft_mpc_tpu.terminal.poly import terminal_value
 
 _BIG = 1e8
 
@@ -111,7 +112,7 @@ def kkt_residuals(
             "ti,ij,tj->", Uu, weights.R, Uu
         )
         eN = Xfull[-1, :N_OPT] - x_ref[-1]
-        return cost + eN @ scenario.term.P @ eN + scenario.term.p @ eN
+        return cost + terminal_value(scenario.term, eN)
 
     grad = jax.grad(J)(U.reshape(-1)).reshape(Nt, -1)
 

@@ -49,6 +49,11 @@ from ft_mpc_tpu.solvers.mpc_qp_stagewise import (
     StagewiseMPCQP,
     solve_mpc_qp_stagewise,
 )
+from ft_mpc_tpu.terminal.poly import (
+    terminal_gradient,
+    terminal_hessian_psd,
+    terminal_value,
+)
 
 _BIG = 1e8
 N_X = 13
@@ -78,6 +83,15 @@ class MPCConfig(NamedTuple):
     # Newton-Schulz refresh steps for the carried ADMM inverse metric on
     # the lane-fused batched path (`sqp_solve_batch`).
     newton_iters: int = 3
+    # Terminal-set feasibility restoration: when the linearization point
+    # violates a terminal row (h_term < 0, i.e. outside the certified
+    # region of attraction), the QP row is relaxed to require the violation
+    # shrink by this factor per SQP iteration instead of vanishing at once
+    # (an infeasible QP would stall the SQP at du = 0, which is how the
+    # reference fails there -- IPOPT reports infeasible,
+    # `spiraling_mpc.py:347-353`).  Rows with h_term >= 0 stay exact, so
+    # fixed points inside the region of attraction are unchanged.
+    term_relax: float = 0.5
 
 
 class MPCWeights(NamedTuple):
@@ -242,23 +256,29 @@ def _assemble_condensed(
     S9 = S_all[:, :N_OPT, :]  # (Nt, 9, n_dec)
     e0 = X[1:, :N_OPT] + phi_all[:, :N_OPT] - x_ref[1:]  # (Nt, 9)
 
-    # Running cost stages t = 1..Nt-1; terminal at Nt.
+    # Running cost stages t = 1..Nt-1; terminal at Nt.  The terminal cost is
+    # the full polynomial V_f (quadratic + quartic + sqrt-abs tables): exact
+    # gradient, convexified Hessian at the linearization point -- for a
+    # purely quadratic V_f this reduces bit-exactly to S9' P S9 / 2P e + p.
     S9_run, e0_run = S9[:-1], e0[:-1]
     S9_N, e0_N = S9[-1], e0[-1]
+    HV = terminal_hessian_psd(scenario.term, e0_N)  # (9, 9)
+    gV = terminal_gradient(scenario.term, e0_N)  # (9,)
     H = 2.0 * (
         jnp.einsum("tin,ij,tjm->nm", S9_run, weights.Q, S9_run)
-        + S9_N.T @ scenario.term.P @ S9_N
+        + 0.5 * S9_N.T @ HV @ S9_N
         + R_blk
         + cfg.prox * jnp.eye(n_dec, dtype=dtype)
     )
     g = 2.0 * (
         jnp.einsum("tin,ij,tj->n", S9_run, weights.Q, e0_run)
-        + S9_N.T @ (scenario.term.P @ e0_N)
         + R_blk @ U.reshape(-1)
-    ) + S9_N.T @ scenario.term.p
+    ) + S9_N.T @ gV
 
     G_term = term_A @ S9_N
     h_term = term_b - term_A @ e0_N
+    # soft feasibility restoration on violated rows (see MPCConfig.term_relax)
+    h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
 
     qp = StructuredMPCQP(
         H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
@@ -302,20 +322,22 @@ def _assemble_condensed_batch(
     S9_run, e0_run = S9[:, :-1], e0[:, :-1]
     S9_N, e0_N = S9[:, -1], e0[:, -1]
     R_blk = jnp.kron(jnp.eye(Nt, dtype=dtype), weights.R)
+    HV = jax.vmap(terminal_hessian_psd)(bank.term, e0_N)  # (B, 9, 9)
+    gV = jax.vmap(terminal_gradient)(bank.term, e0_N)  # (B, 9)
     H = 2.0 * (
         jnp.einsum("btin,ij,btjm->bnm", S9_run, weights.Q, S9_run)
-        + jnp.einsum("bin,bij,bjm->bnm", S9_N, bank.term.P, S9_N)
+        + 0.5 * jnp.einsum("bin,bij,bjm->bnm", S9_N, HV, S9_N)
         + R_blk[None]
         + cfg.prox * jnp.eye(n_dec, dtype=dtype)[None]
     )
     g = 2.0 * (
         jnp.einsum("btin,ij,btj->bn", S9_run, weights.Q, e0_run)
-        + jnp.einsum("bin,bij,bj->bn", S9_N, bank.term.P, e0_N)
         + U.reshape(B, -1) @ R_blk
-    ) + jnp.einsum("bin,bi->bn", S9_N, bank.term.p)
+    ) + jnp.einsum("bin,bi->bn", S9_N, gV)
 
     G_term = jnp.einsum("bti,bin->btn", term_A, S9_N)
     h_term = term_b - jnp.einsum("bti,bi->bt", term_A, e0_N)
+    h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
 
     qp = StructuredMPCQP(
         H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
@@ -343,8 +365,7 @@ def _merit_alpha(
         J = (
             jnp.einsum("ti,ij,tj->", e_run_c, weights.Q, e_run_c)
             + jnp.einsum("ti,ij,tj->", Uc, weights.R, Uc)
-            + e_N_c @ scenario.term.P @ e_N_c
-            + scenario.term.p @ e_N_c
+            + terminal_value(scenario.term, e_N_c)
         )
         u_r_c = jnp.einsum("tij,tj->ti", rot_full_inv(Xc[:-1, 9:13]), u_ref[:Nt])
         w_tot = Uc + u_r_c + scenario.u_comp + u_unc
@@ -409,17 +430,19 @@ def sqp_solve(
             e_bar = X[:, :N_OPT] - x_ref  # (Nt+1, 9)
             gx = jnp.zeros((Nt + 1, N_X), dtype)
             gx = gx.at[:, :N_OPT].set(e_bar @ weights.Q)
-            # terminal linear term: P e_N + p/2 (so that 2*gxN = 2P e + p)
+            # terminal: half-gradient / half-Hessian of the polynomial V_f
+            # (so that 2*gxN = dV/de; quadratic V_f gives P e + p/2 and P).
             gx = gx.at[-1, :N_OPT].set(
-                scenario.term.P @ e_bar[-1] + 0.5 * scenario.term.p
+                0.5 * terminal_gradient(scenario.term, e_bar[-1])
             )
             QN13 = (
                 jnp.zeros((N_X, N_X), dtype)
                 .at[:N_OPT, :N_OPT]
-                .set(scenario.term.P)
+                .set(0.5 * terminal_hessian_psd(scenario.term, e_bar[-1]))
             )
             T13 = jnp.zeros((term_A.shape[0], N_X), dtype).at[:, :N_OPT].set(term_A)
             h_term = term_b - term_A @ e_bar[-1]
+            h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
 
             sqp_qp = StagewiseMPCQP(
                 A=A_stack,
@@ -478,7 +501,7 @@ def sqp_solve(
         + jnp.einsum("ti,ij,tj->", U, weights.R, U)
     )
     e_N = X[-1, :N_OPT] - x_ref[-1]
-    cost = cost + e_N @ scenario.term.P @ e_N + scenario.term.p @ e_N + scenario.term.c
+    cost = cost + terminal_value(scenario.term, e_N)
 
     info = SQPInfo(
         cost=cost,
@@ -509,14 +532,23 @@ def sqp_solve_batch(
     but the QP solve runs unvmapped through `solve_mpc_qp_lanes` (fused
     Pallas ADMM over 128-scenario lane tiles + Newton-refreshed K^{-1}),
     which vmap-of-pallas_call cannot express.  warm.kinv is refreshed each
-    solve and carried across control steps; pass kinv=None on the first
-    call for an exact cold-start factorization.
+    solve and carried across control steps; with kinv=None (cold start) the
+    exact inverse metric is factored once before the SQP scan (the scan
+    carry must be an array, so None cannot ride through it).
     """
-    from ft_mpc_tpu.solvers.lanes_qp import solve_mpc_qp_lanes
+    from ft_mpc_tpu.solvers.lanes_qp import build_K, exact_kinv, solve_mpc_qp_lanes
 
     Nt = cfg.horizon
 
     hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
+
+    if warm.kinv is None:
+        qp0, _, _, _ = _assemble_condensed_batch(
+            params, bank, weights, cfg, warm.X.at[:, 0].set(c0), warm.U,
+            x_ref, u_ref, hull_A, hull_b, term_A, term_b,
+        )
+        K0, _ = build_K(qp0, warm.rho.astype(jnp.float32), cfg.admm.sigma)
+        warm = warm._replace(kinv=exact_kinv(K0))
 
     # params/weights/cfg/x_ref/u_ref are loop-invariant: close over them
     # (cfg carries non-array leaves vmap must not traverse).
@@ -572,12 +604,7 @@ def sqp_solve_batch(
         + jnp.einsum("bti,ij,btj->b", U, weights.R, U)
     )
     e_N = X[:, -1, :N_OPT] - x_ref[None, -1]
-    cost = (
-        cost
-        + jnp.einsum("bi,bij,bj->b", e_N, bank.term.P, e_N)
-        + jnp.einsum("bi,bi->b", bank.term.p, e_N)
-        + bank.term.c
-    )
+    cost = cost + jax.vmap(terminal_value)(bank.term, e_N)
 
     info = SQPInfo(
         cost=cost,

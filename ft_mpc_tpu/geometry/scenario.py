@@ -26,6 +26,7 @@ from ft_mpc_tpu.controllers.spiral_params import SpiralParameters
 from ft_mpc_tpu.geometry.polytope import Polytope
 from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
 from ft_mpc_tpu.ops.dynamics import BodyParams, FaultState, N_THRUSTERS
+from ft_mpc_tpu.terminal.poly import TerminalPoly, quadratic_terminal
 from ft_mpc_tpu.utils.faults import BrokenThruster
 
 # Default padding sizes for the scenario tensors.  The reference plant's
@@ -34,19 +35,6 @@ from ft_mpc_tpu.utils.faults import BrokenThruster
 # raises if a pattern exceeds it, in which case pass a larger value).
 MAX_HULL_FACETS = 32
 MAX_TERM_FACETS = 64
-
-
-class TerminalQuadratic(NamedTuple):
-    """Quadratic terminal cost V_f(e) = e^T P e + p^T e + c on the 9-d error.
-
-    Round-1 ingredient; the full polynomial terminal cost of the reference's
-    offline pipeline (`terminal_ingredients.py`) is handled by
-    `ft_mpc_tpu.terminal` and lowers to additional polynomial terms.
-    """
-
-    P: jnp.ndarray  # (9, 9)
-    p: jnp.ndarray  # (9,)
-    c: jnp.ndarray  # scalar
 
 
 class Scenario(NamedTuple):
@@ -72,8 +60,9 @@ class Scenario(NamedTuple):
     gen_G: jnp.ndarray  # (6, 16)
     gen_c: jnp.ndarray  # (6,)
     gen_L: jnp.ndarray  # scalar ||gen_G||_2^2 (Lipschitz constant)
-    # Terminal ingredients.
-    term: TerminalQuadratic
+    # Terminal ingredients (quadratic + polynomial + sqrt-abs cost tables;
+    # a purely quadratic cost is the zero-table special case).
+    term: TerminalPoly
     term_A: jnp.ndarray  # (T, 9)
     term_b: jnp.ndarray  # (T,)
     term_mask: jnp.ndarray  # (T,)
@@ -92,7 +81,7 @@ class ScenarioBank(NamedTuple):
 def build_scenario(
     params: BodyParams,
     faults: Sequence[BrokenThruster] = (),
-    terminal: TerminalQuadratic | None = None,
+    terminal: TerminalPoly | None = None,
     terminal_set: Polytope | None = None,
     max_hull_facets: int = MAX_HULL_FACETS,
     max_term_facets: int = MAX_TERM_FACETS,
@@ -130,9 +119,7 @@ def build_scenario(
 
     if terminal is None:
         # Placeholder P = 0; callers normally pass a DARE/pipeline-based cost.
-        terminal = TerminalQuadratic(
-            P=np.zeros((9, 9)), p=np.zeros(9), c=np.asarray(0.0)
-        )
+        terminal = quadratic_terminal(np.zeros((9, 9)), np.zeros(9), 0.0)
     if terminal_set is None:
         term_A = np.zeros((max_term_facets, 9))
         term_b = np.ones(max_term_facets)
@@ -146,6 +133,16 @@ def build_scenario(
     # one shot when it is first used.
     f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     as_f = lambda x: np.asarray(x, dtype=f_dtype)
+    terminal = terminal._replace(
+        P=as_f(terminal.P),
+        p=as_f(terminal.p),
+        c=as_f(terminal.c),
+        poly_c=as_f(terminal.poly_c),
+        poly_pow=np.asarray(terminal.poly_pow, dtype=np.int32),
+        sqrt_c=as_f(terminal.sqrt_c),
+        sqrt_pow=np.asarray(terminal.sqrt_pow, dtype=np.int32),
+        app=as_f(terminal.app),
+    )
     return Scenario(
         fault=fault,
         faulty_force=as_f(faulty_force),

@@ -30,10 +30,16 @@ from ft_mpc_tpu.controllers.spiraling import (
     MPCConfig,
     MPCWeights,
     get_control,
+    get_control_batch,
 )
 from ft_mpc_tpu.geometry.scenario import Scenario
 from ft_mpc_tpu.ops.dynamics import BodyParams
-from ft_mpc_tpu.sim.env import RolloutHistory, SimConfig, rollout
+from ft_mpc_tpu.sim.env import (
+    RolloutHistory,
+    SimConfig,
+    batched_rollout_lanes,
+    rollout,
+)
 
 SCENARIO_AXIS = "scenario"
 
@@ -97,6 +103,87 @@ def sharded_control_step(
         check_vma=False,
     )
     return jax.jit(fn)(scenarios, x0, warm)
+
+
+def sharded_control_step_lanes(
+    mesh: Mesh,
+    params: BodyParams,
+    scenarios: Scenario,  # leading axis B, sharded
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    x0: jnp.ndarray,  # (B, 13)
+    x_ref: jnp.ndarray,  # (Nt+1, 9) replicated
+    u_ref: jnp.ndarray,  # (Nt+1, 6)
+    warm,  # batched WarmStart incl. kinv, sharded
+):
+    """One batched MPC control step on the DEPLOYED lane-fused backend,
+    scenario-sharded across the mesh.
+
+    Each device runs `get_control_batch` (fused Pallas ADMM over its
+    128-lane tiles + Newton-refreshed carried metric) on its shard of the
+    bank; only scalar metrics cross chips.  This is the sharded version of
+    the exact backend `bench.py` measures -- `sharded_control_step` above
+    shards the per-scenario XLA path instead.
+    """
+
+    def body(sc_shard, x0_shard, warm_shard):
+        out = get_control_batch(
+            params, sc_shard, weights, cfg, x0_shard, x_ref, u_ref, warm_shard
+        )
+        mean_cost = jax.lax.pmean(jnp.mean(out.info.cost), SCENARIO_AXIS)
+        max_rp = jax.lax.pmax(jnp.max(out.info.r_prim), SCENARIO_AXIS)
+        return out, StepMetrics(
+            mean_cost=mean_cost,
+            max_r_prim=max_rp,
+            u_phys=out.u_phys,
+            wrench=out.wrench,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=(
+            P(SCENARIO_AXIS),
+            StepMetrics(
+                mean_cost=P(), max_r_prim=P(),
+                u_phys=P(SCENARIO_AXIS), wrench=P(SCENARIO_AXIS),
+            ),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)(scenarios, x0, warm)
+
+
+def sharded_rollout_lanes(
+    mesh: Mesh,
+    params: BodyParams,
+    scenarios: Scenario,  # leading axis B, sharded
+    weights: MPCWeights,
+    mpc_cfg: MPCConfig,
+    sim_cfg: SimConfig,
+    x_inits: jnp.ndarray,  # (B, 13)
+    x_ref_full: jnp.ndarray,  # replicated
+    u_ref_full: jnp.ndarray,
+    keys: jnp.ndarray,  # (B,) keys
+) -> RolloutHistory:
+    """Closed-loop rollouts on the lane-fused backend, scenario-sharded:
+    each device runs `batched_rollout_lanes` on its shard of the bank."""
+
+    def body(sc_shard, x0_shard, key_shard):
+        return batched_rollout_lanes(
+            params, sc_shard, weights, mpc_cfg, sim_cfg,
+            x0_shard, x_ref_full, u_ref_full, key_shard,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=P(SCENARIO_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)(scenarios, x_inits, keys)
 
 
 def sharded_rollout(

@@ -153,13 +153,26 @@ def allocate_thrusters(
     )
     sol = admm_solve(qp, cfg)
     u = jnp.clip(sol.x, 0.0, u_ub)
+    # Min-norm equality polish over healthy thrusters (same as the lanes
+    # kernel): removes the penalty-method equality residual in one 6x6
+    # solve; broken thrusters are masked so the box clip cannot
+    # reintroduce the residual through them.
+    healthy = jnp.where(u_ub > 1e-12, 1.0, 0.0)
+    Dm = D * healthy[None, :]
+    W2 = Dm @ Dm.T + 1e-6 * jnp.eye(D.shape[0], dtype=wrench_cmd.dtype)
+    lam = jnp.linalg.solve(W2, w_des - D @ u)
+    u = jnp.clip(u + healthy * (Dm.T @ lam), 0.0, u_ub)
     eq_err = jnp.max(jnp.abs(D @ u - w_des))
     used_fallback = jnp.asarray(False)
     if u_fallback is not None:
-        # When the demand was clipped, theta*max_thrust reproduces w_des
-        # exactly; prefer it whenever the ADMM equality residual is worse.
+        # The fallback (theta*max_thrust from the zonotope projection) is
+        # feasibility-only -- it carries no energy optimality (its null-space
+        # content is whatever FISTA landed on from theta0 = 0.5, e.g. whole
+        # opposing-thruster pairs half-on).  Swap to it only when the ADMM
+        # genuinely failed to realize the wrench, not on marginal residual
+        # wins, or the min-energy solution is silently discarded.
         fb_err = jnp.max(jnp.abs(D @ u_fallback - w_des))
-        used_fallback = fb_err < eq_err - 1e-9
+        used_fallback = (eq_err > 1e-2) & (fb_err < eq_err - 1e-9)
         u = jnp.where(used_fallback, u_fallback, u)
     return AllocationResult(
         u_phys=u,

@@ -183,9 +183,28 @@ def _alloc_kernel(
     )
 
     u = jnp.clip(x, 0.0, u_ub)
+
+    # Min-norm equality polish over healthy thrusters: the penalty-method
+    # ADMM leaves ~1e-3 equality residual near wrench saturation; one 6x6
+    # solve removes it at negligible energy cost.  Broken thrusters are
+    # masked out of the correction so the box clip cannot reintroduce the
+    # residual through them.
+    healthy = jnp.where(u_ub > 1e-12, 1.0, 0.0)  # (16, L)
+    r_eq = w_des - d_mul(u)  # (6, L)
+    W2 = 1e-6 * jnp.eye(N_W, dtype=jnp.float32)[:, :, None] + jnp.sum(
+        DD[:, :, :, None] * healthy[None, None, :, :], axis=2
+    )
+    W2inv = _gauss_jordan6(W2)
+    lam = jnp.sum(W2inv * r_eq[None, :, :], axis=1)  # (6, L)
+    u = jnp.clip(u + healthy * dt_mul(lam), 0.0, u_ub)
+
     eq_err = jnp.max(jnp.abs(d_mul(u) - w_des), axis=0)  # (L,)
     fb_err = jnp.max(jnp.abs(d_mul(u_fallback) - w_des), axis=0)
-    use_fb = fb_err < eq_err - 1e-9
+    # Feasibility-only fallback: swap only when the ADMM genuinely failed
+    # to realize the wrench (same rule as `allocate_thrusters`) -- the
+    # fallback's null-space content is arbitrary (theta0 = 0.5 start), so
+    # marginal residual wins must not discard the min-energy solution.
+    use_fb = (eq_err > 1e-2) & (fb_err < eq_err - 1e-9)
     u = jnp.where(use_fb[None, :], u_fallback, u)
 
     u_out[:] = u

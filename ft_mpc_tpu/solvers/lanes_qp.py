@@ -94,38 +94,55 @@ def newton_kinv(K: jnp.ndarray, X0: jnp.ndarray, iters: int) -> jnp.ndarray:
     rho-driven global scaling of K), then each iteration
     X <- 2X - X K X squares the residual I - K X.  All ops are batched
     (B, n, n) matmuls on the MXU.
+
+    Rescue path: Newton contracts iff rho(I - s K X0) < 1, and `iters`
+    steps only recover rho^(2^iters) -- during violent transients (fault
+    switch, feasibility restoration, fast rho adaptation) the carried
+    metric can drift past what the refresh budget can fix, which shows up
+    as ADMM primal residuals in the 1e1 range while every cheap guard
+    still passes.  The spectral radius is therefore *estimated* (short
+    power iteration -- tight exactly in the dangerous single-outlier
+    case; a max-abs test lower-bounds it by ~100x and a Frobenius bound
+    over-fires in warm steady state), and if ANY lane exceeds the budget
+    the whole batch is refactored exactly (one batched Cholesky).  The
+    rescue never fires in the warm steady-state regime the benchmark
+    measures; it restores exactness in the transients.
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
     # K has condition ~1e5: single-pass bf16 matmuls stall the contraction
-    # (the Newton residual cannot drop below the arithmetic error, the
-    # safe-restart guard then fires every step and the carried metric never
-    # converges).  Pin full fp32 here regardless of the global default.
+    # (the Newton residual cannot drop below the arithmetic error).
+    # Pin full fp32 here regardless of the global default.
     prec = jax.lax.Precision.HIGHEST
     Y = jnp.einsum("bij,bjk->bik", K, X0, precision=prec)
-    # Per-scenario divergence guard: Newton contracts iff ||I - s K X0|| < 1.
-    # Where the carried metric has drifted too far (e.g. a fault switch
-    # rewrote H), restart from X = K / (||K||_1 ||K||_inf), which is
-    # contractive for any SPD K (slow but self-healing across the carried
-    # solves; the SQP merit line search bounds the interim damage).
     tr = jnp.trace(Y, axis1=-2, axis2=-1)
     fn = jnp.maximum(jnp.sum(Y * Y, axis=(-2, -1)), 1e-30)
     s = (tr / fn)[:, None, None]
-    resid = jnp.max(jnp.abs(s * Y - eye[None]), axis=(-2, -1))
-    norm1 = jnp.max(jnp.sum(jnp.abs(K), axis=-2), axis=-1)
-    norm_inf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
-    X_safe = K / jnp.maximum(norm1 * norm_inf, 1e-30)[:, None, None]
-    use_safe = (resid >= 1.0)[:, None, None]
-    X = jnp.where(use_safe, X_safe, s * X0)
-    Y = jnp.where(
-        use_safe, jnp.einsum("bij,bjk->bik", K, X_safe, precision=prec), s * Y
+    R = s * Y - eye[None]
+    v = jnp.sin(1.0 + jnp.arange(n, dtype=K.dtype))[None, :, None]
+    v = jnp.broadcast_to(v, (K.shape[0], n, 1)) / jnp.sqrt(jnp.asarray(n, K.dtype))
+    for _ in range(3):
+        v = R @ v
+        v = v / (jnp.linalg.norm(v, axis=-2, keepdims=True) + 1e-30)
+    resid = jnp.linalg.norm((R @ v)[..., 0], axis=-1)
+
+    def refresh(_):
+        X, Yl = s * X0, s * Y
+        for i in range(iters):
+            X = 2.0 * X - jnp.einsum("bij,bjk->bik", X, Yl, precision=prec)
+            X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+            if i < iters - 1:
+                Yl = jnp.einsum("bij,bjk->bik", K, X, precision=prec)
+        return X
+
+    # budget: iters Newton steps leave resid^(2^iters); require < ~1e-2
+    threshold = float(0.01 ** (1.0 / 2**iters))
+    return jax.lax.cond(
+        jnp.any(resid >= threshold) | ~jnp.all(jnp.isfinite(resid)),
+        lambda _: exact_kinv(K),
+        refresh,
+        operand=None,
     )
-    for i in range(iters):
-        X = 2.0 * X - jnp.einsum("bij,bjk->bik", X, Y, precision=prec)
-        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
-        if i < iters - 1:
-            Y = jnp.einsum("bij,bjk->bik", K, X, precision=prec)
-    return X
 
 
 def build_K(
@@ -320,12 +337,12 @@ def admm_lanes(
 # ---------------------------------------------------------------------------
 
 
-def _pad_batch(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
+def _pad_batch(x: jnp.ndarray, Bp: int, value: float = 0.0) -> jnp.ndarray:
     B = x.shape[0]
     if B == Bp:
         return x
     pad = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, pad)
+    return jnp.pad(x, pad, constant_values=value)
 
 
 def _lanes(x: jnp.ndarray) -> jnp.ndarray:
@@ -401,7 +418,9 @@ def solve_mpc_qp_lanes(
             _lanes(_pad_batch(zt_c.astype(f32), Bp)),
             _lanes(_pad_batch(yh.astype(f32), Bp)),
             _lanes(_pad_batch(yt.astype(f32), Bp)),
-            _pad_batch(rho, Bp),
+            # padded lanes must keep a finite rho: zero-padding makes
+            # inv_rho = inf and 0*inf = NaN inside the kernel
+            _pad_batch(rho, Bp, value=1.0),
             cfg.sigma,
             cfg.alpha,
             cfg.iters,

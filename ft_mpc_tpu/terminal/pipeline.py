@@ -42,6 +42,7 @@ import scipy.linalg as la
 
 from ft_mpc_tpu.geometry.invariant import mcais
 from ft_mpc_tpu.geometry.polytope import Polytope
+from ft_mpc_tpu.terminal.poly import TerminalPoly, assemble_terminal_poly
 
 
 # ----------------------------------------------------------------------------
@@ -339,9 +340,10 @@ def fit_quadratic_upper_bound(pts: np.ndarray, vals: np.ndarray):
 
 @dataclass
 class TerminalIngredients:
-    P9: np.ndarray  # (9, 9)
+    P9: np.ndarray  # (9, 9) quadratic part (cost_empc + cost_omega)
     p9: np.ndarray  # (9,)
     c: float
+    term: TerminalPoly  # full certified cost incl. cross_1/cross_2 tables
     term_set: Polytope  # over the 9-d error
     emax: np.ndarray  # (3,)
     r_empc: float
@@ -402,6 +404,22 @@ def compute_terminal_ingredients(
     P9[6:9, 6:9] = P_om
     c = 3.0 * c2
 
+    # Full polynomial cost: quadratic base + the reference's cross_1/cross_2
+    # coupling bounds (`terminal_ingredients.py:341-369`), in the corrected
+    # (every-term-prefactored) form -- see `cross_term_tables`.
+    term = assemble_terminal_poly(
+        P9, p9, c,
+        mass=mass,
+        inertia=inertia,
+        r=r,
+        omega_des=omega_des,
+        Q=Q,
+        k_omega=k_omega,
+        qu_tilde_abs=float(np.linalg.norm(Qu_tilde)),
+        input_empc_max=r_empc,
+        prefactor_all=True,
+    )
+
     # Terminal set: per-axis eMPC domain rows + omega box (calc_terminal_set
     # block structure, terminal_ingredients.py:396-426).
     dom = empc.domain
@@ -423,6 +441,7 @@ def compute_terminal_ingredients(
         P9=P9,
         p9=p9,
         c=c,
+        term=term,
         term_set=Polytope(A9, b9),
         emax=emax,
         r_empc=r_empc,
@@ -445,6 +464,14 @@ def save_terminal_ingredients(ti: TerminalIngredients, path: str | Path) -> None
         P9=ti.P9,
         p9=ti.p9,
         c=ti.c,
+        poly_P=np.asarray(ti.term.P),
+        poly_p=np.asarray(ti.term.p),
+        poly_const=np.asarray(ti.term.c),
+        poly_c=np.asarray(ti.term.poly_c),
+        poly_pow=np.asarray(ti.term.poly_pow),
+        sqrt_c=np.asarray(ti.term.sqrt_c),
+        sqrt_pow=np.asarray(ti.term.sqrt_pow),
+        app=np.asarray(ti.term.app),
         term_A=ti.term_set.A,
         term_b=ti.term_set.b,
         emax=ti.emax,
@@ -455,10 +482,21 @@ def save_terminal_ingredients(ti: TerminalIngredients, path: str | Path) -> None
 
 def load_terminal_ingredients(path: str | Path) -> TerminalIngredients:
     z = np.load(path, allow_pickle=False)
+    if "poly_P" in z:
+        term = TerminalPoly(
+            P=z["poly_P"], p=z["poly_p"], c=z["poly_const"],
+            poly_c=z["poly_c"], poly_pow=z["poly_pow"],
+            sqrt_c=z["sqrt_c"], sqrt_pow=z["sqrt_pow"], app=z["app"],
+        )
+    else:  # round-1 cache (quadratic-only): upgrade in place
+        from ft_mpc_tpu.terminal.poly import quadratic_terminal
+
+        term = quadratic_terminal(z["P9"], z["p9"], float(z["c"]))
     return TerminalIngredients(
         P9=z["P9"],
         p9=z["p9"],
         c=float(z["c"]),
+        term=term,
         term_set=Polytope(z["term_A"], z["term_b"]),
         emax=z["emax"],
         r_empc=float(z["r_empc"]),
@@ -466,17 +504,34 @@ def load_terminal_ingredients(path: str | Path) -> TerminalIngredients:
     )
 
 
-def cache_key(fault_pattern, tuning: dict) -> str:
-    """Stable key for the per-fault-class cache."""
+def cache_key(fault_pattern, tuning: dict, plant: dict | None = None) -> str:
+    """Stable key for the per-fault-class cache.
+
+    `plant` carries the physical identity (mass, inertia, dt, D, ...) so
+    different vehicles with the same tuning never collide.
+    """
     payload = json.dumps(
         {
+            "v": 2,  # cache format version (v2: + cross-term tables)
             "faults": sorted((int(f.index), float(f.intensity)) for f in fault_pattern),
             "tuning": {k: tuning[k] for k in sorted(tuning) if k != "sqp_iters"},
+            "plant": plant or {},
         },
         sort_keys=True,
         default=float,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def plant_fingerprint(params) -> dict:
+    """Cache-key identity of a BodyParams plant."""
+    return {
+        "mass": float(params.mass),
+        "inertia": np.asarray(params.inertia).round(12).tolist(),
+        "dt": float(params.dt),
+        "max_thrust": float(params.max_thrust),
+        "D": np.asarray(params.D).round(12).tolist(),
+    }
 
 
 def main() -> None:
@@ -523,7 +578,8 @@ def main() -> None:
         empc_horizon=int(tuning.get("empc_horizon", 3)),
     )
     out = args.out or str(
-        Path(__file__).parent.parent / "config" / f"terminal_{cache_key(cfg.faults, tuning)}.npz"
+        Path(__file__).parent.parent / "config"
+        / f"terminal_{cache_key(cfg.faults, tuning, plant_fingerprint(params))}.npz"
     )
     save_terminal_ingredients(ti, out)
     print(f"terminal ingredients written to {out}")

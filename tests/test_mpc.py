@@ -25,8 +25,16 @@ FAULTS = [BrokenThruster(10, 1.0), BrokenThruster(11, 1.0)]
 
 @pytest.fixture(scope="module")
 def setup():
+    # quadratic terminal mode: these tests assert strict SQP fixed-point
+    # convergence from the demo's aggressive initial state, which lies
+    # outside the certified (MCAIS) terminal set's region of attraction at
+    # Nt=15 -- there the solver correctly stays in feasibility-restoration
+    # mode and no KKT fixed point exists.  Certified-mode solver behavior
+    # is covered by test_certify / test_terminal_poly / test_lanes.
     params = BodyParams.default(DT)
-    sc = _build_scenario_with_terminal(params, FAULTS, DEFAULT_TUNING)
+    sc = _build_scenario_with_terminal(
+        params, FAULTS, DEFAULT_TUNING, terminal_mode="quadratic"
+    )
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
     cfg = MPCConfig(horizon=15, sqp_iters=3)
     traj = generate_trajectory("hover", DT, 30)
