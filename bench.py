@@ -71,9 +71,14 @@ def main(B: int | None = None):
     # 5-SQP-iteration golden is <0.05 N (~1.4% of max thrust).
     cfg = MPCConfig(
         horizon=horizon,
-        sqp_iters=2,
-        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
-        newton_iters=3,
+        sqp_iters=int(os.environ.get("FT_MPC_BENCH_SQP", 2)),
+        admm=StructuredADMMConfig(
+            iters=int(os.environ.get("FT_MPC_BENCH_ITERS", 40)),
+            phases=int(os.environ.get("FT_MPC_BENCH_PHASES", 1)),
+            rho=50.0,
+            adapt_clip=1.5,
+        ),
+        newton_iters=int(os.environ.get("FT_MPC_BENCH_NEWTON", 3)),
     )
 
     traj = generate_trajectory("hover", dt, 5)

@@ -51,6 +51,7 @@ def main():
     cfg_run = load_config(args.config)
     if args.batch is not None:
         cfg_run.batch = args.batch
+    cfg_run.apply_debug_flags()  # tpu.debug_nans: NaN sanitizer mode
 
     params = BodyParams.default(cfg_run.time_step)
     tuning = {**DEFAULT_TUNING, **cfg_run.tuning}

@@ -33,10 +33,22 @@ class RunConfig:
     batch: int = 1
     noise_mode: str = "reference"
     seed: int = 0
+    # Numeric-sanitizer mode: enables jax_debug_nans so the first NaN
+    # produced anywhere in the jitted control stack raises at the emitting
+    # op (the reference's only numeric guard is IPOPT's
+    # check_derivatives_for_naninf, `spiraling_mpc.py:222`).
+    debug_nans: bool = False
 
     @property
     def steps(self) -> int:
         return int(self.traj_duration / self.time_step)
+
+    def apply_debug_flags(self) -> None:
+        """Apply sanitizer flags to the JAX runtime (call before tracing)."""
+        if self.debug_nans:
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
 
 
 def load_config(path: str | Path | None = None) -> RunConfig:
@@ -79,4 +91,5 @@ def load_config(path: str | Path | None = None) -> RunConfig:
         batch=int(tpu.get("batch", 1)),
         noise_mode=tpu.get("noise_mode", "reference"),
         seed=int(tpu.get("seed", 0)),
+        debug_nans=bool(tpu.get("debug_nans", False)),
     )
