@@ -15,6 +15,11 @@ wholesale here, so accuracy is measured two ways:
 Run on CPU x64:  JAX_PLATFORMS=cpu python benchmarks/accuracy.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 
 import jax

@@ -15,6 +15,11 @@ however many (virtual) devices exist; virtual CPU devices share host cores,
 so those numbers validate correctness of the scaling path, not speedup.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

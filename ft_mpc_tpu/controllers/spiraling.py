@@ -459,12 +459,12 @@ def sqp_solve(
                 h_term=h_term,
             )
             ssol = solve_mpc_qp_stagewise(
-                sqp_qp, cfg.stagewise, y_hull0=yh, y_term0=yt
+                sqp_qp, cfg.stagewise, y_hull0=yh, y_term0=yt, rho0=rho
             )
             dU = ssol.dU
             dX = ssol.dX[1:]
             sol = ssol  # for residual reporting below
-            rho_new = rho
+            rho_new = ssol.rho
             du_raw = jnp.max(jnp.abs(dU))
         else:
             raise ValueError(f"unknown qp_backend {cfg.qp_backend}")

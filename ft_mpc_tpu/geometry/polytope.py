@@ -78,6 +78,60 @@ class Polytope:
             raise RuntimeError(f"chebyshev_center LP failed: {res.message}")
         return res.x[:-1], float(res.x[-1])
 
+    def largest_contained_box(
+        self, fixed_center: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Largest-volume axis-aligned box inside the polytope.
+
+        Returns (center, half_widths). Maximizes sum(log w) subject to
+        A c + |A| w <= b -- the log-volume program of the reference's
+        `MyPolytope.largest_contained_box` (`ft_mpc/util/polytope.py:37-63`),
+        solved with SLSQP seeded at the Chebyshev ball instead of a
+        cvxpy/exponential-cone build.  With `fixed_center`, only the
+        half-widths are optimized (the reference's `fixed_point` mode).
+        """
+        from scipy.optimize import minimize
+
+        Aabs = np.abs(self.A)
+        c0, r0 = self.chebyshev_center()
+        n = self.dim
+        w0 = np.full(n, max(r0, 1e-6) / np.sqrt(n))
+
+        if fixed_center is not None:
+            c_fix = np.asarray(fixed_center, dtype=np.float64)
+            slack = self.b - self.A @ c_fix
+
+            def neg_logvol(w):
+                return -np.sum(np.log(np.maximum(w, 1e-12)))
+
+            def grad(w):
+                return -1.0 / np.maximum(w, 1e-12)
+
+            cons = {"type": "ineq", "fun": lambda w: slack - Aabs @ w,
+                    "jac": lambda w: -Aabs}
+            res = minimize(neg_logvol, w0, jac=grad, constraints=[cons],
+                           bounds=[(1e-12, None)] * n, method="SLSQP",
+                           options={"maxiter": 200, "ftol": 1e-12})
+            return c_fix, np.maximum(res.x, 0.0)
+
+        def neg_logvol(z):
+            return -np.sum(np.log(np.maximum(z[n:], 1e-12)))
+
+        def grad(z):
+            g = np.zeros(2 * n)
+            g[n:] = -1.0 / np.maximum(z[n:], 1e-12)
+            return g
+
+        J = np.hstack([self.A, Aabs])
+        cons = {"type": "ineq", "fun": lambda z: self.b - J @ z,
+                "jac": lambda z: -J}
+        z0 = np.concatenate([c0, w0])
+        res = minimize(neg_logvol, z0, jac=grad, constraints=[cons],
+                       bounds=[(None, None)] * n + [(1e-12, None)] * n,
+                       method="SLSQP", options={"maxiter": 300, "ftol": 1e-12})
+        z = res.x
+        return z[:n], np.maximum(z[n:], 0.0)
+
     def vertices(self) -> np.ndarray:
         """V-representation via halfspace intersection about the Chebyshev center."""
         center, radius = self.chebyshev_center()

@@ -56,6 +56,41 @@ def shard_scenario_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def sharded_init_warmstart(
+    mesh: Mesh,
+    params: BodyParams,
+    scenarios: Scenario,  # leading axis B, sharded
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    c0: jnp.ndarray,  # (B, 13) center-frame states, sharded
+    x_ref: jnp.ndarray,  # replicated
+    u_ref: jnp.ndarray,
+):
+    """Batched warm-start initialization, scenario-sharded.
+
+    `init_warmstart_batch` vmaps internally, which rejects inputs whose
+    mapped axis carries mixed shardings; under shard_map each device sees
+    plain local shards, so this is the multi-host-safe way to build the
+    initial carry (plain `jit(init_warmstart_batch)` works only when the
+    whole bank lives on one process).
+    """
+    from ft_mpc_tpu.controllers.spiraling import init_warmstart_batch
+
+    def body(sc_shard, c0_shard):
+        return init_warmstart_batch(
+            params, sc_shard, weights, cfg, c0_shard, x_ref, u_ref
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=P(SCENARIO_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)(scenarios, c0)
+
+
 class StepMetrics(NamedTuple):
     mean_cost: jnp.ndarray  # psum-averaged over the global batch
     max_r_prim: jnp.ndarray  # pmax over the global batch

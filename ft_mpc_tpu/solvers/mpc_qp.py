@@ -56,10 +56,9 @@ class StructuredADMMConfig(NamedTuple):
     # drift; 1.5 there.  5.0 (the OSQP-style default) on exact-refactor
     # paths.
     adapt_clip: float = 5.0
-    # Run the inner iterations as one fused Pallas kernel (K^{-1} and the
-    # constraint operator stay VMEM-resident across all iterations) instead
-    # of the XLA op-by-op loop.  TPU only.
-    use_pallas: bool = False
+    # The lane-fused Pallas backend (solvers/lanes_qp.py) is a separate
+    # entry point (solve_mpc_qp_lanes); this single-scenario path is pure
+    # XLA by design.
 
 
 class StructuredSolution(NamedTuple):
@@ -156,45 +155,6 @@ def solve_mpc_qp(
         if rho0 is None
         else jnp.clip(rho0, cfg.rho_min, cfg.rho_max).astype(dtype)
     )
-
-    if cfg.use_pallas:
-        from ft_mpc_tpu.solvers.pallas_admm import pallas_admm_single
-
-        F = qp.hull_A.shape[0]
-        G_dense = jnp.concatenate(
-            [jnp.kron(jnp.eye(Nt, dtype=dtype), qp.hull_A), qp.G_term], axis=0
-        )
-        h_dense = jnp.concatenate([qp.h_hull.reshape(-1), qp.h_term])
-        y_flat = jnp.concatenate([yh.reshape(-1), yt])
-        rho = rho_init
-        for _ in range(cfg.phases):
-            K = qp.H + cfg.sigma * eye + rho * (eye_blk + GtTGt)
-            Kinv = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(K), True), eye)
-            x, y_flat = pallas_admm_single(
-                Kinv, G_dense, qp.g, h_dense, y_flat,
-                cfg.sigma, rho, cfg.alpha, cfg.iters,
-            )
-            x = x.astype(dtype)
-            y_flat = y_flat.astype(dtype)
-            Gxv = G_dense @ x
-            r_prim = jnp.max(jnp.maximum(Gxv - h_dense, 0.0))
-            dual_vec = qp.H @ x + qp.g + G_dense.T @ y_flat
-            r_dual = jnp.max(jnp.abs(dual_vec))
-            prim_scale = jnp.maximum(jnp.max(jnp.abs(Gxv)), 1e-6)
-            dual_scale = jnp.maximum(
-                jnp.maximum(jnp.max(jnp.abs(qp.H @ x)), jnp.max(jnp.abs(qp.g))),
-                1e-6,
-            )
-            ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
-            rho = jnp.clip(
-                rho * jnp.clip(jnp.sqrt(ratio), 0.2, 5.0), cfg.rho_min, cfg.rho_max
-            )
-        yh_out = y_flat[: Nt * F].reshape(Nt, F)
-        yt_out = y_flat[Nt * F :]
-        return StructuredSolution(
-            x=x, y_hull=yh_out, y_term=yt_out,
-            r_prim=r_prim, r_dual=r_dual, rho=rho,
-        )
 
     (x, zh, zt, yh, yt, rho_out), (rps, rds) = jax.lax.scan(
         run_phase, (x, zh, zt, yh, yt, rho_init), None, length=cfg.phases

@@ -15,6 +15,14 @@ Splitting:  min  J(dx, du)   s.t.  dynamics (hard, inside the LQR),
 
 x-update = LQR with per-stage costs augmented by sigma-prox and rho-penalty
 terms; z/y updates are the usual clipped ADMM steps.
+
+Within a phase rho is fixed, so the Riccati quadratic data never changes:
+the backward pass is FACTORED once per phase (`lqr_factor`) and every ADMM
+iteration is a matvec-only re-solve (`lqr_resolve`) -- the stagewise
+analogue of the condensed backend's one-factorization-per-phase discipline.
+Between phases rho adapts by the same scaled-residual rule as
+`mpc_qp.solve_mpc_qp`, and (rho, duals) carry across SQP iterations and
+control steps exactly like the condensed path.
 """
 
 from __future__ import annotations
@@ -25,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ft_mpc_tpu.solvers.riccati import LQRProblem, lqr_solve
+from ft_mpc_tpu.solvers.riccati import LQRProblem, lqr_factor, lqr_resolve, lqr_solve
 
 
 class StagewiseMPCQP(NamedTuple):
@@ -55,10 +63,16 @@ class StagewiseMPCQP(NamedTuple):
 
 class StagewiseConfig(NamedTuple):
     iters: int = 40
+    phases: int = 1  # rho re-factorizations; total iterations = iters*phases
     rho: float = 50.0
+    rho_min: float = 1.0
+    rho_max: float = 1e4
+    # Per-phase rho change bound; tight (1.5) when (rho, duals) are carried
+    # across solves, loose (5.0) for cold solves.
+    adapt_clip: float = 5.0
     sigma: float = 1e-6
     alpha: float = 1.6
-    mode: str = "scan"  # riccati backend: 'scan' | 'assoc'
+    mode: str = "scan"  # riccati backend: 'scan' (factored) | 'assoc'
 
 
 class StagewiseSolution(NamedTuple):
@@ -66,6 +80,7 @@ class StagewiseSolution(NamedTuple):
     dU: jnp.ndarray  # (Nt, m)
     y_hull: jnp.ndarray
     y_term: jnp.ndarray
+    rho: jnp.ndarray  # adapted penalty, carry into the next solve's rho0
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
 
@@ -76,82 +91,116 @@ def solve_mpc_qp_stagewise(
     cfg: StagewiseConfig = StagewiseConfig(),
     y_hull0: jnp.ndarray | None = None,
     y_term0: jnp.ndarray | None = None,
+    rho0: jnp.ndarray | None = None,
 ) -> StagewiseSolution:
     Nt, n, m = qp.B.shape
     F = qp.hull_A.shape[0]
     dtype = qp.A.dtype
-    rho = jnp.asarray(cfg.rho, dtype)
 
     AhTAh = qp.hull_A.T @ qp.hull_A
     TtT = qp.T.T @ qp.T
-
-    # Constant LQR cost blocks (sigma-prox terms added per iteration).
-    Q_stage = 2.0 * qp.Qx + cfg.sigma * jnp.eye(n, dtype=dtype)
-    R_stage = (
-        2.0 * qp.Ru + cfg.sigma * jnp.eye(m, dtype=dtype) + rho * AhTAh
-    )
-    QN = 2.0 * qp.QxN + cfg.sigma * jnp.eye(n, dtype=dtype) + rho * TtT
-
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
     zeros_x = jnp.zeros(n, dtype)
 
-    def x_update(dX, dU, zh, zt, yh, yt):
-        # LQR linear terms: from the objective, the prox, and the penalties.
+    def x_update_factored(fact, dX, dU, zh, zt, yh, yt, rho):
         vh = zh - yh / rho  # (Nt, F)
         vt = zt - yt / rho  # (Tm,)
-        r_lin = (
-            2.0 * qp.gu
-            - cfg.sigma * dU
-            - rho * (vh @ qp.hull_A)
-        )
+        r_lin = 2.0 * qp.gu - cfg.sigma * dU - rho * (vh @ qp.hull_A)
         q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:]
         qN_lin = q_lin[-1] - rho * (qp.T.T @ vt)
+        q_full = jnp.concatenate([zeros_x[None], q_lin[:-1]], axis=0)
+        return lqr_resolve(fact, q_full, r_lin, qN_lin, zeros_x)
+
+    def x_update_assoc(rho, dX, dU, zh, zt, yh, yt):
+        vh = zh - yh / rho
+        vt = zt - yt / rho
+        r_lin = 2.0 * qp.gu - cfg.sigma * dU - rho * (vh @ qp.hull_A)
+        q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:]
+        qN_lin = q_lin[-1] - rho * (qp.T.T @ vt)
+        Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n
+        R_stage = 2.0 * qp.Ru + cfg.sigma * eye_m + rho * AhTAh
+        QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * TtT
         prob = LQRProblem(
-            A=qp.A,
-            B=qp.B,
-            c=qp.c,
+            A=qp.A, B=qp.B, c=qp.c,
             Q=jnp.broadcast_to(Q_stage, (Nt, n, n)),
             q=jnp.concatenate([zeros_x[None], q_lin[:-1]], axis=0),
             R=jnp.broadcast_to(R_stage, (Nt, m, m)),
-            r=r_lin,
-            QN=QN,
-            qN=qN_lin,
-            x0=zeros_x,
+            r=r_lin, QN=QN, qN=qN_lin, x0=zeros_x,
         )
-        sol = lqr_solve(prob, mode=cfg.mode)
+        sol = lqr_solve(prob, mode="assoc")
         return sol.X, sol.U
 
     def Gx(dX, dU):
         return dU @ qp.hull_A.T, qp.T @ dX[-1]
 
-    dX = jnp.zeros((Nt + 1, n), dtype)
-    dU = jnp.zeros((Nt, m), dtype)
-    yh = jnp.zeros((Nt, F), dtype) if y_hull0 is None else y_hull0
-    yt = jnp.zeros(qp.h_term.shape, dtype) if y_term0 is None else y_term0
-    zh = jnp.minimum(jnp.zeros((Nt, F), dtype), qp.h_hull)
-    zt = jnp.minimum(qp.T @ dX[-1], qp.h_term)
-
-    def body(_, st):
-        dX, dU, zh, zt, yh, yt = st
-        dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt)
-        dX_new = cfg.alpha * dX_t + (1 - cfg.alpha) * dX
-        dU_new = cfg.alpha * dU_t + (1 - cfg.alpha) * dU
-        Gh_t, Gt_t = Gx(dX_t, dU_t)
-        zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
-        zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
-        zh_new = jnp.minimum(zh_hat + yh / rho, qp.h_hull)
-        zt_new = jnp.minimum(zt_hat + yt / rho, qp.h_term)
-        yh_new = yh + rho * (zh_hat - zh_new)
-        yt_new = yt + rho * (zt_hat - zt_new)
-        return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
-
-    dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
-        0, cfg.iters, body, (dX, dU, zh, zt, yh, yt)
+    dX0 = jnp.zeros((Nt + 1, n), dtype)
+    dU0 = jnp.zeros((Nt, m), dtype)
+    yh0 = jnp.zeros((Nt, F), dtype) if y_hull0 is None else y_hull0
+    yt0 = jnp.zeros(qp.h_term.shape, dtype) if y_term0 is None else y_term0
+    zh0 = jnp.minimum(jnp.zeros((Nt, F), dtype), qp.h_hull)
+    zt0 = jnp.minimum(qp.T @ dX0[-1], qp.h_term)
+    rho_init = (
+        jnp.asarray(cfg.rho, dtype)
+        if rho0 is None
+        else jnp.clip(rho0, cfg.rho_min, cfg.rho_max).astype(dtype)
     )
 
-    Gh, Gt = Gx(dX, dU)
-    r_prim = jnp.maximum(jnp.max(jnp.abs(Gh - zh)), jnp.max(jnp.abs(Gt - zt)))
-    # dual residual on the u-block (diagnostic)
-    r_dual = jnp.max(jnp.abs(2.0 * (dU @ qp.Ru) + 2.0 * qp.gu + yh @ qp.hull_A))
+    def run_phase(carry, _):
+        dX, dU, zh, zt, yh, yt, rho = carry
+        if cfg.mode == "scan":
+            # one Riccati factorization for the whole phase (rho fixed)
+            Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n
+            R_stage = 2.0 * qp.Ru + cfg.sigma * eye_m + rho * AhTAh
+            QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * TtT
+            fact = lqr_factor(qp.A, qp.B, qp.c, Q_stage, R_stage, QN)
+            x_update = partial(x_update_factored, fact)
+        else:
+            x_update = partial(x_update_assoc, rho)
+
+        def body(_, st):
+            dX, dU, zh, zt, yh, yt = st
+            if cfg.mode == "scan":
+                dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt, rho)
+            else:
+                dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt)
+            dX_new = cfg.alpha * dX_t + (1 - cfg.alpha) * dX
+            dU_new = cfg.alpha * dU_t + (1 - cfg.alpha) * dU
+            Gh_t, Gt_t = Gx(dX_t, dU_t)
+            zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
+            zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
+            zh_new = jnp.minimum(zh_hat + yh / rho, qp.h_hull)
+            zt_new = jnp.minimum(zt_hat + yt / rho, qp.h_term)
+            yh_new = yh + rho * (zh_hat - zh_new)
+            yt_new = yt + rho * (zt_hat - zt_new)
+            return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
+
+        dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
+            0, cfg.iters, body, (dX, dU, zh, zt, yh, yt)
+        )
+
+        # scaled-residual rho adaptation (same rule as mpc_qp.run_phase)
+        Gh, Gt = Gx(dX, dU)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs(Gh - zh)), jnp.max(jnp.abs(Gt - zt))
+        )
+        r_dual = jnp.max(
+            jnp.abs(2.0 * (dU @ qp.Ru) + 2.0 * qp.gu + yh @ qp.hull_A)
+        )
+        prim_scale = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Gh)), jnp.max(jnp.abs(zh))), 1e-6
+        )
+        dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * dU @ qp.Ru)), 1e-6)
+        ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
+        factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
+        rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
+        return (dX, dU, zh, zt, yh, yt, rho_new), (r_prim, r_dual)
+
+    (dX, dU, zh, zt, yh, yt, rho_out), (rps, rds) = jax.lax.scan(
+        run_phase, (dX0, dU0, zh0, zt0, yh0, yt0, rho_init), None,
+        length=cfg.phases,
+    )
     return StagewiseSolution(
-        dX=dX, dU=dU, y_hull=yh, y_term=yt, r_prim=r_prim, r_dual=r_dual
+        dX=dX, dU=dU, y_hull=yh, y_term=yt, rho=rho_out,
+        r_prim=rps[-1], r_dual=rds[-1],
     )

@@ -195,6 +195,93 @@ def lqr_forward_assoc(prob: LQRProblem, P_all, p_all):
     return X, U
 
 
+class LQRFactorization(NamedTuple):
+    """Quadratic part of the Riccati recursion, reusable across re-solves.
+
+    In ADMM-around-LQR (`solvers/mpc_qp_stagewise.py`) the quadratic data
+    (A, B, Q, R, QN) is constant within a phase -- only the linear terms
+    (q, r, qN) change per iteration.  Factoring once and re-solving with
+    matvec-sized backward/forward passes removes every per-iteration matrix
+    product and inverse (the 13x13 / 6x6 class).
+    """
+
+    A: jnp.ndarray  # (Nt, n, n)
+    B: jnp.ndarray  # (Nt, n, m)
+    c: jnp.ndarray  # (Nt, n)
+    P: jnp.ndarray  # (Nt+1, n, n) value Hessians
+    K: jnp.ndarray  # (Nt, m, n) feedback gains
+    Quu_inv: jnp.ndarray  # (Nt, m, m)
+    F: jnp.ndarray  # (Nt, n, n) closed loop A - B K
+    PC: jnp.ndarray  # (Nt, n) P_{t+1} c_t (constant linear contribution)
+
+
+def lqr_factor(A, B, c, Q, R, QN) -> LQRFactorization:
+    """Backward Riccati sweep on the quadratic data only.
+
+    Q may be (Nt, n, n) or (n, n) broadcast; same for R.
+    """
+    Nt, n, m = B.shape
+    Q = jnp.broadcast_to(Q, (Nt, n, n))
+    R = jnp.broadcast_to(R, (Nt, m, m))
+
+    def step(P_next, inp):
+        A_t, B_t, Q_t, R_t = inp
+        BtP = B_t.T @ P_next
+        Quu = R_t + BtP @ B_t
+        Quu_inv = jnp.linalg.inv(Quu)
+        Qux = BtP @ A_t
+        K = Quu_inv @ Qux
+        P = Q_t + A_t.T @ P_next @ A_t - Qux.T @ K
+        P = 0.5 * (P + P.T)
+        return P, (P, K, Quu_inv)
+
+    _, (Ps, Ks, Quu_invs) = jax.lax.scan(
+        step, QN, (A, B, Q, R), reverse=True
+    )
+    P_all = jnp.concatenate([Ps, QN[None]], axis=0)
+    F = A - jnp.einsum("tnm,tmk->tnk", B, Ks)
+    PC = jnp.einsum("tij,tj->ti", P_all[1:], c)
+    return LQRFactorization(
+        A=A, B=B, c=c, P=P_all, K=Ks, Quu_inv=Quu_invs, F=F, PC=PC
+    )
+
+
+def lqr_resolve(fact: LQRFactorization, q, r, qN, x0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the LQR with new linear terms against an existing factorization.
+
+    Backward pass (vectors only):
+        w_t  = P_{t+1} c_t + p_{t+1}
+        k_t  = Quu_inv_t (r_t + B_t' w_t)
+        p_t  = q_t + F_t' w_t - K_t' r_t
+    Forward pass:
+        u_t = -K_t x_t - k_t,   x_{t+1} = F_t x_t + c_t - B_t k_t
+    """
+
+    def bwd(p_next, inp):
+        F_t, B_t, K_t, Quu_inv_t, PC_t, q_t, r_t = inp
+        w = PC_t + p_next
+        k = Quu_inv_t @ (r_t + B_t.T @ w)
+        p = q_t + F_t.T @ w - K_t.T @ r_t
+        return p, k
+
+    _, ks = jax.lax.scan(
+        bwd, qN, (fact.F, fact.B, fact.K, fact.Quu_inv, fact.PC, q, r),
+        reverse=True,
+    )
+
+    def fwd(x, inp):
+        F_t, B_t, c_t, K_t, k_t = inp
+        u = -K_t @ x - k_t
+        x_next = F_t @ x + c_t - B_t @ k_t
+        return x_next, (x, u)
+
+    x_last, (Xs, Us) = jax.lax.scan(
+        fwd, x0, (fact.F, fact.B, fact.c, fact.K, ks)
+    )
+    X = jnp.concatenate([Xs, x_last[None]], axis=0)
+    return X, Us
+
+
 def lqr_solve(prob: LQRProblem, mode: str = "scan") -> LQRSolution:
     """Solve the LQR problem exactly.  mode: 'scan' | 'assoc'."""
     if mode == "scan":

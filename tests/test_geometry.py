@@ -107,3 +107,29 @@ def test_scenario_bank_shapes():
     # orbit radius |f|/(m w^2) along +y
     r_expected = 3.5 / (16.8 * 0.6**2)
     np.testing.assert_allclose(np.asarray(s1.r), [0, r_expected, 0], atol=1e-6)
+
+
+def test_largest_contained_box():
+    from ft_mpc_tpu.geometry.polytope import Polytope
+
+    # Box in a box: optimum is the polytope itself.
+    P = Polytope.from_box([-1.0, -2.0], [3.0, 2.0])
+    c, w = P.largest_contained_box()
+    np.testing.assert_allclose(c, [1.0, 0.0], atol=1e-4)
+    np.testing.assert_allclose(w, [2.0, 2.0], atol=1e-4)
+
+    # Simplex x,y >= 0, x + y <= 1: optimum square has w = 1/4 at c = (1/4, 1/4)
+    # (maximize log w1 + log w2 s.t. c1+c2+w1+w2 <= 1, w <= c elementwise).
+    S = Polytope(np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]),
+                 np.array([1.0, 0.0, 0.0]))
+    c, w = S.largest_contained_box()
+    np.testing.assert_allclose(w, [0.25, 0.25], atol=1e-3)
+    # Contained: all 4 corners inside.
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            assert S.contains(c + [sx * w[0], sy * w[1]], tol=1e-6)
+
+    # fixed_center mode
+    c2, w2 = S.largest_contained_box(fixed_center=np.array([0.3, 0.3]))
+    np.testing.assert_allclose(c2, [0.3, 0.3])
+    assert S.contains(c2 + w2, tol=1e-6) and S.contains(c2 - w2, tol=1e-6)

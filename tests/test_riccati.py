@@ -95,3 +95,20 @@ def test_riccati_long_horizon_stable():
     np.testing.assert_allclose(
         np.asarray(sol.U), np.asarray(s1.U), rtol=1e-6, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_factor_resolve_matches_full_solve(seed):
+    from ft_mpc_tpu.solvers.riccati import lqr_factor, lqr_resolve
+
+    rng = np.random.default_rng(seed)
+    prob = random_lqr(rng, Nt=20)
+    fact = lqr_factor(prob.A, prob.B, prob.c, prob.Q, prob.R, prob.QN)
+    # Re-solve against the factorization with two different linear terms.
+    for scale in (1.0, -2.5):
+        X, U = lqr_resolve(fact, scale * prob.q, scale * prob.r,
+                           scale * prob.qN, prob.x0)
+        ref = lqr_solve(prob._replace(q=scale * prob.q, r=scale * prob.r,
+                                      qN=scale * prob.qN), mode="scan")
+        np.testing.assert_allclose(np.asarray(U), np.asarray(ref.U), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(X), np.asarray(ref.X), atol=1e-9)

@@ -74,3 +74,31 @@ def test_animation_renders(tmp_path):
     hist, sc, params = small_history()
     animate_rollout(hist, sc, save_path=str(tmp_path / "a.gif"), stride=1, fps=5)
     assert (tmp_path / "a.gif").stat().st_size > 0
+
+
+def test_polytope_plots(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ft_mpc_tpu.geometry.polytope import Polytope
+    from ft_mpc_tpu.viz import plot_polytope_2d, plot_polytope_3d, plot_wrench_sets
+    from ft_mpc_tpu.utils.faults import BrokenThruster
+
+    ax = plot_polytope_2d(Polytope.from_box([-1, -1], [1, 2]), show_vertices=True)
+    ax.figure.savefig(tmp_path / "p2.png")
+    plt.close(ax.figure)
+
+    ax3 = plot_polytope_3d(Polytope.from_box([-1, -1, 0], [1, 2, 1]))
+    ax3.figure.savefig(tmp_path / "p3.png")
+    plt.close(ax3.figure)
+
+    _, _, params = small_history()
+    fig = plot_wrench_sets(
+        np.asarray(params.D), 3.4,
+        [[], [BrokenThruster(10, 1.0), BrokenThruster(11, 1.0)]],
+        save_path=str(tmp_path / "wrench.png"),
+    )
+    plt.close(fig)
+    assert (tmp_path / "wrench.png").stat().st_size > 0
