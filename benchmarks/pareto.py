@@ -1,0 +1,101 @@
+"""Accuracy/throughput Pareto sweep of the deployed solver config (real TPU).
+
+Sweeps (sqp_iters, admm_iters, phases, newton_iters) through bench.py's env
+hooks, one subprocess per point (fresh backend + compile each), and writes
+`benchmarks/pareto_r03.json` plus a markdown table.  Purpose: spend the >4x
+throughput margin over the 10k solves/s BASELINE target on accuracy --
+pick the deployed config at max_r_prim <= 1e-3 while staying >= 10k solves/s
+(the reference's own IPOPT tolerance is 1e-3, `spiraling_mpc.py:221`).
+
+Run on the TPU:  python benchmarks/pareto.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# (sqp_iters, admm_iters, phases, newton_iters)
+CONFIGS = [
+    (2, 40, 1, 3),   # round-2 deployed config (anchor)
+    (2, 60, 1, 3),
+    (2, 80, 1, 3),
+    (2, 120, 1, 3),
+    (2, 60, 2, 3),
+    (2, 80, 2, 3),
+    (2, 120, 2, 3),
+    (3, 80, 1, 3),
+    (3, 80, 2, 3),
+    (3, 120, 2, 3),
+    (2, 160, 2, 3),
+    (2, 120, 2, 5),
+    (3, 160, 2, 3),
+]
+
+
+def run_point(sqp, iters, phases, newton, batch=2048):
+    env = dict(os.environ)
+    env.update(
+        FT_MPC_BENCH_SQP=str(sqp),
+        FT_MPC_BENCH_ITERS=str(iters),
+        FT_MPC_BENCH_PHASES=str(phases),
+        FT_MPC_BENCH_NEWTON=str(newton),
+        FT_MPC_BENCH_BATCH=str(batch),
+    )
+    res = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1200, cwd=REPO,
+    )
+    if res.returncode != 0:
+        return {"error": res.stderr[-2000:]}
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    out_path = REPO / "benchmarks" / "pareto_r03.json"
+    rows = json.loads(out_path.read_text()) if out_path.exists() else []
+    done = {
+        (r["sqp_iters"], r["admm_iters"], r["phases"], r["newton_iters"])
+        for r in rows
+        if "error" not in r
+    }
+    for sqp, iters, phases, newton in CONFIGS:
+        if (sqp, iters, phases, newton) in done:
+            continue
+        out = run_point(sqp, iters, phases, newton)
+        row = {
+            "sqp_iters": sqp, "admm_iters": iters, "phases": phases,
+            "newton_iters": newton, **out,
+        }
+        rows = [r for r in rows if (r["sqp_iters"], r["admm_iters"],
+                r["phases"], r["newton_iters"]) != (sqp, iters, phases, newton)]
+        rows.append(row)
+        out_path.write_text(json.dumps(rows, indent=2))
+        print(json.dumps(row), flush=True)
+
+    md = [
+        "| sqp | admm iters | phases | newton | solves/s | max_r_prim | ms/step |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            md.append(
+                f"| {r['sqp_iters']} | {r['admm_iters']} | {r['phases']} |"
+                f" {r['newton_iters']} | ERROR | — | — |"
+            )
+            continue
+        md.append(
+            f"| {r['sqp_iters']} | {r['admm_iters']} | {r['phases']} |"
+            f" {r['newton_iters']} | {r['value']:.0f} | {r['max_r_prim']:.2e} |"
+            f" {r['per_step_latency_ms']:.1f} |"
+        )
+    (REPO / "benchmarks" / "pareto_r03.md").write_text("\n".join(md) + "\n")
+    print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main()

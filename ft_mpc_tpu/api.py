@@ -224,8 +224,16 @@ class SpiralingMPC:
             raise RuntimeError("call load_trajectory first")
         i = int(round(t / float(self.params.dt)))
         Nt = self.cfg.horizon
+        if i < 0 or i + Nt + 1 > self.trajectory.shape[0]:
+            raise ValueError(
+                f"t={t} maps to step {i}, but the loaded trajectory only "
+                f"covers steps 0..{self.trajectory.shape[0] - Nt - 2} at "
+                f"horizon {Nt} (dt={float(self.params.dt)}); load a longer "
+                "trajectory or reduce the simulated duration"
+            )
         x_ref = self.trajectory[i : i + Nt + 1]
         u_ref = self.nominal_input[i : i + Nt + 1]
+        self._last_ref_index = i
         x0 = jnp.asarray(x0, dtype=self.trajectory.dtype)
 
         c0 = robot_to_center(self.scenario.r, x0)
@@ -267,7 +275,8 @@ class SimulationEnvironment:
             "angular_velocity": 1e-3,
         }
         self._rng = np.random.default_rng(seed)
-        self.history = []
+        self.history = []  # (t, state, u) tuples, reference-style
+        self._records = []  # full RolloutHistory-compatible records
 
     def set_initial_state(
         self, position=None, velocity=None, orientation=None, angular_velocity=None
@@ -287,7 +296,7 @@ class SimulationEnvironment:
 
     def step(self):
         u = self.controller.get_control(self.state, self.cur_time)
-        x_new = np.asarray(
+        x_new = np.array(  # np.array: jax buffers view as read-only via asarray
             robot_step(
                 self.params,
                 self.controller.scenario.fault,
@@ -301,9 +310,49 @@ class SimulationEnvironment:
         x_new[10:13] += self._rng.uniform(0, self.noise["angular_velocity"], 3)
         x_new[6:10] /= np.linalg.norm(x_new[6:10])
         self.history.append((self.cur_time, self.state.copy(), u))
+        # Full observability record (RolloutHistory-compatible), so the
+        # imperative workflow feeds the same 67-column CSV/dashboards as the
+        # fused-rollout path (`controller_debug.py:216-260` parity).
+        out = self.controller.last_output
+        ref_i = getattr(self.controller, "_last_ref_index", 0)
+        self._records.append(
+            dict(
+                time=self.cur_time,
+                state=self.state.copy(),
+                c0=np.asarray(out.c0),
+                u_phys=np.asarray(u),
+                wrench=np.asarray(out.wrench),
+                x_ref0=np.asarray(self.controller.trajectory[ref_i]),
+                cost=float(out.info.cost),
+                r_prim=float(out.info.r_prim),
+                r_dual=float(out.info.r_dual),
+                defect=float(out.info.defect),
+                was_clipped=bool(out.alloc.was_clipped),
+            )
+        )
         self.state = x_new
         self.cur_time += self.dt
 
     def run_simulation(self, duration: float):
         for _ in range(int(duration / self.dt)):
             self.step()
+
+    def to_history(self):
+        """Stacked `RolloutHistory` of everything stepped so far -- feeds
+        `ft_mpc_tpu.sim.history.history_to_table`/`export_csv` and the
+        `viz.dashboards` views exactly like the fused-scan rollout."""
+        from ft_mpc_tpu.sim.env import RolloutHistory
+
+        if not self._records:
+            raise RuntimeError("no steps recorded yet")
+        stack = {
+            k: np.asarray([r[k] for r in self._records])
+            for k in self._records[0]
+        }
+        return RolloutHistory(**stack)
+
+    def export_csv(self, file_path: str) -> None:
+        """67-column reference-schema CSV of the stepped run."""
+        from ft_mpc_tpu.sim.history import export_csv
+
+        export_csv(self.to_history(), np.asarray(self.params.D), file_path)

@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--per-device", type=int, default=256)
     ap.add_argument("--horizon", type=int, default=15)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--sqp-iters", type=int, default=2)
+    ap.add_argument("--admm-iters", type=int, default=40)
+    ap.add_argument("--admm-phases", type=int, default=1)
     args = ap.parse_args(argv)
 
     from ft_mpc_tpu.parallel.distributed import initialize_distributed
@@ -93,8 +96,11 @@ def main(argv=None):
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
     cfg = MPCConfig(
-        horizon=args.horizon, sqp_iters=2,
-        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
+        horizon=args.horizon, sqp_iters=args.sqp_iters,
+        admm=StructuredADMMConfig(
+            iters=args.admm_iters, phases=args.admm_phases,
+            rho=50.0, adapt_clip=1.5,
+        ),
         newton_iters=3,
     )
     traj = generate_trajectory("hover", dt, 5)

@@ -70,27 +70,112 @@ def fb_lin_residual(eo: np.ndarray, omega_des, r, inertia) -> np.ndarray:
     return np.concatenate([lin, -Jinv_g])
 
 
-def _fb_grid(emax: float, omega_des, r, inertia, grid_n: int = 9) -> np.ndarray:
-    """fb_lin_residual evaluated on the |eo_i| <= emax grid: (grid_n^3, 6)."""
-    g = np.linspace(-emax, emax, grid_n)
-    ex, ey, ez = np.meshgrid(g, g, g, indexing="ij")
-    eos = np.stack([ex.ravel(), ey.ravel(), ez.ravel()], axis=1)
-    return np.array(
-        [fb_lin_residual(eo, omega_des, r, inertia) for eo in eos]
-    )
+def fb_quad_coeffs(omega_des, r, inertia):
+    """Exact quadratic coefficients of `fb_lin_residual` in eo.
+
+    Every component of the residual is a sum of cross products of
+    w = omega_des + eo and linear maps of it, hence an *exactly* degree-2
+    polynomial in eo.  The coefficients are therefore recovered exactly from
+    13 function evaluations (no fitting):  fb_k(eo) = eo'H_k eo + G_k.eo + c_k.
+    Returns (H (6,3,3) symmetric, G (6,3), c (6,)).
+    """
+    f = lambda e: fb_lin_residual(e, omega_des, r, inertia)
+    c = f(np.zeros(3))
+    eye = np.eye(3)
+    fp = [f(eye[i]) for i in range(3)]
+    fm = [f(-eye[i]) for i in range(3)]
+    H = np.zeros((6, 3, 3))
+    G = np.zeros((6, 3))
+    for i in range(3):
+        G[:, i] = 0.5 * (fp[i] - fm[i])
+        H[:, i, i] = 0.5 * (fp[i] + fm[i]) - c
+    for i in range(3):
+        for j in range(i + 1, 3):
+            fij = f(eye[i] + eye[j])
+            H[:, i, j] = H[:, j, i] = 0.5 * (
+                fij - c - G[:, i] - G[:, j] - H[:, i, i] - H[:, j, j]
+            )
+    return H, G, c
+
+
+def _quad_box_max_batch(
+    H: np.ndarray, g: np.ndarray, c: np.ndarray, emax: float
+) -> np.ndarray:
+    """Exact max of q_f(e) = e'H_f e + g_f.e + c_f over |e_i| <= emax, per row.
+
+    The maximizer of a quadratic over a box lies on some face, where it is
+    either a vertex or a stationary point of q restricted to that face --
+    enumerating all 27 (free-subset, fixed-sign) candidates is exhaustive, so
+    this is a *verified* maximum (vs the reference's sympy worst-case bounds,
+    `terminal_ingredients.py:57-166`, and round 2's grid-max heuristic).
+    Faces whose restricted Hessian is singular have their maximum on the face
+    boundary, which lower-dimensional candidates cover.
+    H: (F, 3, 3), g: (F, 3), c: (F,).  Returns (F,).
+    """
+    from itertools import product
+
+    F = H.shape[0]
+    best = np.full(F, -np.inf)
+
+    def consider(e):  # e: (F, 3) candidate points, assumed inside the box
+        q = np.einsum("fi,fij,fj->f", e, H, e) + np.einsum("fi,fi->f", g, e) + c
+        np.maximum(best, q, out=best)
+
+    idx = [0, 1, 2]
+    for free_mask in product([False, True], repeat=3):
+        free = [i for i in idx if free_mask[i]]
+        fixed = [i for i in idx if not free_mask[i]]
+        for signs in product([-emax, emax], repeat=len(fixed)):
+            e = np.zeros((F, 3))
+            for i, s in zip(fixed, signs):
+                e[:, i] = s
+            if free:
+                k = len(free)
+                Hff = 2.0 * H[:, free][:, :, free]  # (F, k, k)
+                rhs = -(g[:, free] + 2.0 * np.einsum(
+                    "fij,fj->fi", H[:, free][:, :, fixed], e[:, fixed]
+                ))
+                det = np.linalg.det(Hff)
+                ok = np.abs(det) > 1e-12
+                Hsafe = np.where(ok[:, None, None], Hff, np.eye(k)[None])
+                ef = np.linalg.solve(Hsafe, rhs[..., None])[..., 0]
+                inbox = np.all(np.abs(ef) <= emax * (1 + 1e-12), axis=1)
+                valid = ok & inbox
+                if not valid.any():
+                    continue
+                ef = np.clip(ef, -emax, emax)
+                for j, i in enumerate(free):
+                    e[:, i] = np.where(valid, ef[:, j], 0.0)
+                q = (
+                    np.einsum("fi,fij,fj->f", e, H, e)
+                    + np.einsum("fi,fi->f", g, e)
+                    + c
+                )
+                np.maximum(best, np.where(valid, q, -np.inf), out=best)
+            else:
+                consider(e)
+    return best
 
 
 def _fb_bound_per_facet(
-    A: np.ndarray, emax: float, omega_des, r, inertia, grid_n: int = 9,
-    safety: float = 1.1,
+    A: np.ndarray, emax: float, omega_des, r, inertia,
+    coeffs=None,
 ) -> np.ndarray:
-    """Per-facet directional bound max_eo a_i . fb(eo) (grid + margin).
+    """Per-facet directional bound max_{|eo|<=emax} a_i . fb(eo), EXACT.
 
     Sharper than a single norm bound: pure-torque facets only pay for the
-    gyroscopic term, not the (much larger) centripetal delta.
+    gyroscopic term, not the (much larger) centripetal delta.  a_i . fb is a
+    3-variable quadratic, maximized exactly over the box (no grid, no safety
+    factor) -- `tests/test_terminal.py` asserts 1e5 random samples never
+    exceed this bound as-is.
     """
-    fb = _fb_grid(emax, omega_des, r, inertia, grid_n)  # (G, 6)
-    return safety * np.maximum((A @ fb.T).max(axis=1), 0.0)
+    Hq, Gq, cq = coeffs if coeffs is not None else fb_quad_coeffs(
+        omega_des, r, inertia
+    )
+    Hf = np.einsum("fk,kij->fij", A, Hq)  # (F, 3, 3)
+    gf = A @ Gq  # (F, 3)
+    cf = A @ cq  # (F,)
+    return np.maximum(_quad_box_max_batch(Hf, gf, cf, float(emax)), 0.0)
 
 
 def input_bound_box(
@@ -129,12 +214,16 @@ def input_bound_box(
     if emax_grid is None:
         emax_grid = np.linspace(0.01, 1.2, 120)
 
+    fb_coeffs = fb_quad_coeffs(
+        np.asarray(omega_des), np.asarray(r), np.asarray(inertia)
+    )
     best = None
     for emax in emax_grid:
         # worst corner of a_i . [0; -k eo] over |eo|<=emax:  sum |A_om k| emax
         corner = np.abs(A_om * k[None, :]).sum(axis=1) * emax
         slack = b - nominal - corner - _fb_bound_per_facet(
-            A, emax, np.asarray(omega_des), np.asarray(r), np.asarray(inertia)
+            A, emax, np.asarray(omega_des), np.asarray(r), np.asarray(inertia),
+            coeffs=fb_coeffs,
         )
         if np.any(slack < 0):
             continue  # emax itself infeasible
@@ -294,43 +383,60 @@ def sample_value_function(
     return pts, V, feasible
 
 
+def _constrained_lsq_lower_bounded(Phi: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Exact solve of  min ||Phi t - v||^2  s.t.  Phi t >= v  (primal active set).
+
+    The QP is tiny in the variable (6 params) but has thousands of rows; a
+    textbook primal active-set method converges in a handful of pivots.
+    """
+    n = Phi.shape[1]
+    H = Phi.T @ Phi
+    Pv = Phi.T @ v
+    scale = max(1.0, float(np.abs(v).max()))
+    feas_tol = 1e-9 * scale
+
+    t = np.linalg.lstsq(Phi, v, rcond=None)[0]  # unconstrained LSQ start
+    S: list[int] = []
+    for _ in range(200):
+        resid = Phi @ t - v
+        resid[S] = 0.0  # working-set rows are equalities (numerically exact)
+        worst = int(np.argmin(resid))
+        if resid[worst] >= -feas_tol:
+            return t  # feasible, working-set multipliers already all valid
+        S.append(worst)
+        while True:
+            A = Phi[S]
+            k = len(S)
+            KKT = np.block([[H, A.T], [A, np.zeros((k, k))]])
+            rhs = np.concatenate([Pv, v[S]])
+            sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
+            t, lam = sol[:n], sol[n:]
+            # constraint Phi_S t >= v_S active with multiplier mu = -2 lam >= 0
+            bad = np.where(lam > 1e-10 * scale)[0]
+            if bad.size == 0:
+                break
+            S.pop(int(bad[np.argmax(lam[bad])]))
+    return t
+
+
 def fit_quadratic_upper_bound(pts: np.ndarray, vals: np.ndarray):
     """Least-squares quadratic upper bound: min sum (V_hat - V)^2, V_hat >= V.
 
-    Solved as a 6-parameter QP with our ADMM (the reference builds a
-    CasADi Opti NLP, `terminal_ingredients.py:240-273`).
+    Solved exactly as the 6-parameter inequality-constrained least-squares
+    problem it is (active set) -- the reference builds a CasADi Opti NLP for
+    the same fit (`terminal_ingredients.py:240-273`).
     theta = (axx, axv, avv, bx, bv, c); V_hat = [x^2, 2xv, v^2, x, v, 1].theta
     """
-    import jax
-    import jax.numpy as jnp
-
-    from ft_mpc_tpu.solvers.admm import QP, ADMMConfig, admm_solve
-
     x, v = pts[:, 0], pts[:, 1]
     Phi = np.stack([x * x, 2 * x * v, v * v, x, v, np.ones_like(x)], axis=1)
-    H = 2.0 * Phi.T @ Phi
-    q = -2.0 * Phi.T @ vals
-    # Phi theta >= vals  ->  -Phi theta <= -vals
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    qp = QP(
-        P=jnp.asarray(H, dtype),
-        q=jnp.asarray(q, dtype),
-        A=jnp.asarray(-Phi, dtype),
-        l=jnp.full(Phi.shape[0], -1e8, dtype),
-        u=jnp.asarray(-vals, dtype),
+    theta = _constrained_lsq_lower_bounded(
+        Phi.astype(np.float64), np.asarray(vals, np.float64)
     )
-    sol = admm_solve(qp, ADMMConfig(iters=150, phases=6, rho=1.0))
-    theta = np.asarray(sol.x, dtype=np.float64)
     A2 = np.array([[theta[0], theta[1]], [theta[1], theta[2]]])
     b2 = theta[3:5]
-    c = float(theta[5])
-    # Guard: the fit must actually upper-bound the samples (small tolerance).
-    viol = np.max(Phi @ theta - vals)  # should be >= 0 mostly; check underside
-    under = np.max(vals - Phi @ theta)
-    if under > 1e-3 * max(1.0, np.abs(vals).max()):
-        # inflate c to restore the bound
-        c += float(under)
-        b2 = b2.copy()
+    # Exactness guard: lift c by the residual underside (zero up to round-off).
+    under = float(np.max(vals - Phi @ theta))
+    c = float(theta[5]) + max(under, 0.0)
     return A2, b2, c
 
 

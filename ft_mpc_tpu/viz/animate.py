@@ -135,6 +135,22 @@ def animate_rollout(
 
     anim = FuncAnimation(fig, update, frames=Tn, interval=1000 // fps, blit=False)
     if save_path is not None:
-        anim.save(save_path, writer="pillow", fps=fps)
+        # gif via pillow; mp4 via ffmpeg when available (the reference saves
+        # either, `ft_mpc/util/animate.py:389-400`).
+        if str(save_path).endswith(".mp4"):
+            from matplotlib.animation import FFMpegWriter, writers
+
+            if writers.is_available("ffmpeg"):
+                anim.save(save_path, writer=FFMpegWriter(fps=fps))
+            else:  # no ffmpeg binary in this environment: fall back to gif
+                import warnings
+
+                gif_path = str(save_path)[:-4] + ".gif"
+                warnings.warn(
+                    f"ffmpeg unavailable; saving {gif_path} instead of mp4"
+                )
+                anim.save(gif_path, writer="pillow", fps=fps)
+        else:
+            anim.save(save_path, writer="pillow", fps=fps)
         plt.close(fig)
     return anim
