@@ -75,8 +75,8 @@ def main(B: int | None = None):
         admm=StructuredADMMConfig(
             iters=int(os.environ.get("FT_MPC_BENCH_ITERS", 40)),
             phases=int(os.environ.get("FT_MPC_BENCH_PHASES", 1)),
-            rho=50.0,
-            adapt_clip=1.5,
+            rho=float(os.environ.get("FT_MPC_BENCH_RHO", 50.0)),
+            adapt_clip=float(os.environ.get("FT_MPC_BENCH_CLIP", 1.5)),
         ),
         newton_iters=int(os.environ.get("FT_MPC_BENCH_NEWTON", 3)),
     )

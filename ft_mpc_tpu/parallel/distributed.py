@@ -75,12 +75,20 @@ def initialize_distributed(
     if coordinator_address is None and not auto_detectable:
         return False  # single-process run
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except ValueError:
+        # Cluster-ish env vars present but auto-detection could not produce
+        # a coordinator spec (e.g. the single-chip axon tunnel sets
+        # TPU_WORKER_HOSTNAMES at jax import): single-process run.
+        if coordinator_address is not None:
+            raise
+        return False
     _initialized = True
     return True
 

@@ -41,13 +41,30 @@ def main(argv=None):
     ap.add_argument("--sqp-iters", type=int, default=2)
     ap.add_argument("--admm-iters", type=int, default=40)
     ap.add_argument("--admm-phases", type=int, default=1)
+    ap.add_argument(
+        "--cpu-devices", type=int, default=None,
+        help="force N virtual CPU devices per process (multi-process CPU "
+        "testing; uses gloo cross-process collectives)",
+    )
+    ap.add_argument(
+        "--dump", default=None,
+        help="process 0 writes the globally-gathered u_phys/wrench and "
+        "metrics to this .npz (cross-configuration equality checks)",
+    )
     args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu_devices:
+        # Must precede backend init; the harness sitecustomize pins
+        # JAX_PLATFORMS=axon, so env vars cannot select CPU here.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     from ft_mpc_tpu.parallel.distributed import initialize_distributed
 
     initialize_distributed(args.coordinator, args.num_processes, args.process_id)
-
-    import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
@@ -129,6 +146,22 @@ def main(argv=None):
         w = out.warm
     jax.block_until_ready(metrics)
     elapsed = (time.perf_counter() - t0) / args.reps
+
+    if args.dump:
+        # Gather the full sharded outputs onto every process; process 0
+        # writes them so a test can assert 2-process == 1-process exactly.
+        from jax.experimental import multihost_utils
+
+        u_phys_g = multihost_utils.process_allgather(metrics.u_phys, tiled=True)
+        wrench_g = multihost_utils.process_allgather(metrics.wrench, tiled=True)
+        if jax.process_index() == 0:
+            np.savez(
+                args.dump,
+                u_phys=np.asarray(u_phys_g),
+                wrench=np.asarray(wrench_g),
+                mean_cost=float(metrics.mean_cost),
+                max_r_prim=float(metrics.max_r_prim),
+            )
 
     if jax.process_index() == 0:
         print(json.dumps({

@@ -133,3 +133,61 @@ def test_stagewise_nt512_tractable():
     )
     assert np.isfinite(np.asarray(out.U)).all()
     assert float(info.r_prim) < 5e-2
+
+
+def test_stagewise_batched_api_matches_per_scenario():
+    """`get_control_batch` with qp_backend='stagewise' (the deployed
+    long-horizon path, VERDICT r2 next-step 3) must equal the
+    per-scenario `get_control` it routes around."""
+    from ft_mpc_tpu.controllers.spiraling import (
+        get_control,
+        get_control_batch,
+        init_warmstart_batch,
+    )
+
+    horizon = 20
+    params, sc, weights, x_ref, u_ref, x0 = setup(horizon)
+    cfg = MPCConfig(
+        horizon=horizon, sqp_iters=2, qp_backend="stagewise",
+        stagewise=StagewiseConfig(iters=30, rho=50.0),
+    )
+    B = 3
+    bank = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)), sc
+    )
+    x0s = jnp.asarray(np.tile(x0, (B, 1)) + np.linspace(0, 0.01, B)[:, None])
+    c0s = jax.vmap(robot_to_center)(bank.r, x0s)
+    warm = init_warmstart_batch(
+        params, bank, weights, cfg, c0s, x_ref[: horizon + 1],
+        u_ref[: horizon + 1],
+    )
+    assert warm.kinv is None  # no condensed metric on the stagewise path
+
+    out_b = jax.jit(
+        lambda b, x, w: get_control_batch(
+            params, b, weights, cfg, x, x_ref[: horizon + 1],
+            u_ref[: horizon + 1], w,
+        )
+    )(bank, x0s, warm)
+
+    warm1 = jax.vmap(lambda sc_, c: init_warmstart(params, sc_, cfg, c))(
+        bank, c0s
+    )
+    out_1 = jax.vmap(
+        lambda sc_, x, w: get_control(
+            params, sc_, weights, cfg, x, x_ref[: horizon + 1],
+            u_ref[: horizon + 1], w,
+        )
+    )(bank, x0s, warm1)
+
+    np.testing.assert_allclose(
+        np.asarray(out_b.wrench), np.asarray(out_1.wrench), rtol=0, atol=1e-8
+    )
+    # u_phys: batched allocation runs the lane-fused FISTA kernel, the
+    # per-scenario path the XLA allocator; iteration scheduling differs at
+    # the ~5e-5 N level (<<0.05 N accuracy gate), wrench parity above is
+    # the exact check.
+    np.testing.assert_allclose(
+        np.asarray(out_b.u_phys), np.asarray(out_1.u_phys), rtol=0, atol=1e-3
+    )
+    assert np.isfinite(np.asarray(out_b.info.r_prim)).all()
