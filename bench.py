@@ -64,21 +64,29 @@ def main(B: int | None = None):
     bank = jax.tree.map(lambda x: np.tile(x, (reps,) + (1,) * (x.ndim - 1)), bank_small)
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
-    # Deployed fast config: 2 warm-started RTI-SQP iterations, 40 lane-fused
+    # Deployed fast config: 2 warm-started RTI-SQP iterations, 60 lane-fused
     # ADMM iterations, Newton-refreshed inverse metric (tight adapt_clip
-    # keeps the carried metric trackable).  Gated by benchmarks/accuracy.py
-    # (same config there): steady-state thruster deviation vs the float64
+    # keeps the carried metric trackable), plus the tail-cleanup pass
+    # (cleanup_* below).  Gated by benchmarks/accuracy.py (same config
+    # there): steady-state thruster deviation vs the float64
     # 5-SQP-iteration golden is <0.05 N (~1.4% of max thrust).
     cfg = MPCConfig(
         horizon=horizon,
         sqp_iters=int(os.environ.get("FT_MPC_BENCH_SQP", 2)),
         admm=StructuredADMMConfig(
-            iters=int(os.environ.get("FT_MPC_BENCH_ITERS", 40)),
+            iters=int(os.environ.get("FT_MPC_BENCH_ITERS", 60)),
             phases=int(os.environ.get("FT_MPC_BENCH_PHASES", 1)),
             rho=float(os.environ.get("FT_MPC_BENCH_RHO", 50.0)),
             adapt_clip=float(os.environ.get("FT_MPC_BENCH_CLIP", 1.5)),
         ),
         newton_iters=int(os.environ.get("FT_MPC_BENCH_NEWTON", 3)),
+        # Tail cleanup: re-solve the worst-residual K scenarios with an
+        # exact factorization and a big ADMM budget (~K/B of a full step).
+        # This is what moves max_r_prim from the ~2e-2 plateau of a flat
+        # iteration budget to <=1e-3 while keeping >>10k solves/s.
+        cleanup_iters=int(os.environ.get("FT_MPC_BENCH_CLEANUP", 300)),
+        cleanup_k=int(os.environ.get("FT_MPC_BENCH_CLEANUP_K", 256)),
+        cleanup_phases=int(os.environ.get("FT_MPC_BENCH_CLEANUP_PHASES", 2)),
     )
 
     traj = generate_trajectory("hover", dt, 5)
@@ -136,6 +144,14 @@ def main(B: int | None = None):
     # Sanity: outputs finite, residuals small.
     assert np.isfinite(np.asarray(out.u_phys)).all(), "non-finite thruster commands"
     max_rp = float(jnp.max(out.info.r_prim))
+    # Elastic terminal-restoration gap (see StructuredADMMConfig.elastic_y_max):
+    # scenarios whose faulted input hull cannot shrink the terminal-set
+    # violation at the configured rate have a genuinely infeasible
+    # restoration QP; their minimum violation is reported here, separately
+    # from solver convergence (max_r_prim).
+    gaps = np.asarray(out.info.term_gap)
+    max_gap = float(np.nanmax(gaps))
+    n_gap = int(np.sum(gaps > 1e-3))
 
     result = {
         "metric": "batched fault-scenario MPC solves/s (1 chip, B=%d, Nt=%d)"
@@ -146,6 +162,8 @@ def main(B: int | None = None):
         "batch": B,
         "per_step_latency_ms": round(1e3 * elapsed / n_reps, 2),
         "max_r_prim": max_rp,
+        "max_term_gap": max_gap,
+        "n_restoration_gap": n_gap,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

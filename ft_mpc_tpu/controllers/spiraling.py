@@ -83,6 +83,19 @@ class MPCConfig(NamedTuple):
     # Newton-Schulz refresh steps for the carried ADMM inverse metric on
     # the lane-fused batched path (`sqp_solve_batch`).
     newton_iters: int = 3
+    # Tail cleanup (lane-fused batched path only).  A warm-started batch's
+    # QP residual distribution is heavy-tailed: the median scenario
+    # converges in tens of ADMM iterations while a few hard double-fault
+    # geometries (large terminal-Hessian curvature spread, diag(H) ratio
+    # up to ~1e5) dominate max r_prim for hundreds of iterations.  Rather
+    # than paying a worst-case iteration count on all B scenarios, the K
+    # scenarios with the worst primal residual after the SQP scan get one
+    # extra SQP iteration with an exact re-factored inverse metric and a
+    # cleanup_iters x cleanup_phases ADMM budget (gather -> solve ->
+    # scatter; ~K/B of a full step).  0 disables.
+    cleanup_iters: int = 0
+    cleanup_k: int = 256
+    cleanup_phases: int = 2
     # Terminal-set feasibility restoration: when the linearization point
     # violates a terminal row (h_term < 0, i.e. outside the certified
     # region of attraction), the QP row is relaxed to require the violation
@@ -124,6 +137,12 @@ class SQPInfo(NamedTuple):
     r_dual: jnp.ndarray
     defect: jnp.ndarray  # max shooting defect after last iteration
     du_norm: jnp.ndarray  # |delta_U|_inf of last SQP step (SQP convergence)
+    # Max violation of the elastic terminal-restoration rows (see
+    # StructuredADMMConfig.elastic_y_max): 0 when the restoration step is
+    # feasible, the infeasibility gap when the faulted input hull cannot
+    # shrink the terminal violation at the required rate.  NaN on backends
+    # without elastic rows (stagewise).
+    term_gap: jnp.ndarray = jnp.nan
 
 
 def init_warmstart(
@@ -483,6 +502,7 @@ def sqp_solve(
             sol.r_dual,
             jnp.max(jnp.abs(defects)),
             alpha * du_raw,
+            jnp.asarray(getattr(sol, "term_gap", jnp.nan), X.dtype),
         )
         return (X_new, U_new, sol.y_hull, sol.y_term, rho_new), info
 
@@ -509,6 +529,7 @@ def sqp_solve(
         r_dual=infos[1][-1],
         defect=infos[2][-1],
         du_norm=infos[3][-1],
+        term_gap=infos[4][-1],
     )
     return (
         WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho, kinv=warm.kinv),
@@ -584,6 +605,7 @@ def sqp_solve_batch(
             sol.r_dual,
             jnp.max(jnp.abs(defects), axis=(1, 2)),
             alpha * du_raw,
+            sol.term_gap,
         )
         return (
             X_new, U_new, sol.y_hull, sol.y_term,
@@ -597,6 +619,46 @@ def sqp_solve_batch(
         None,
         length=cfg.sqp_iters,
     )
+    r_prim_f, r_dual_f, defect_f, du_norm_f, term_gap_f = (i[-1] for i in infos)
+
+    if cfg.cleanup_iters > 0 and cfg.cleanup_k > 0:
+        # Tail cleanup: one extra SQP iteration on the K worst scenarios
+        # with exact factorization and a large ADMM budget (see MPCConfig).
+        K = min(cfg.cleanup_k, X.shape[0])
+        _, idx = jax.lax.top_k(r_prim_f, K)
+        bank_s = jax.tree.map(lambda a: a[idx], bank)
+        X_s, U_s = X[idx], U[idx]
+        hA_s, hb_s = hull_A[idx], hull_b[idx]
+        tA_s, tb_s = term_A[idx], term_b[idx]
+        qp_s, S_s, phi_s, defects_s = assemble(
+            bank_s, X_s, U_s, hA_s, hb_s, tA_s, tb_s
+        )
+        ccfg = cfg.admm._replace(
+            iters=cfg.cleanup_iters, phases=cfg.cleanup_phases, adapt_clip=5.0
+        )
+        # kinv0=None -> exact inverse (and exact per-phase refactor), so the
+        # cleanup solve is immune to warm-metric drift on exactly the
+        # scenarios where the carried Newton refresh struggles most.
+        sol = solve_mpc_qp_lanes(
+            qp_s, ccfg, y_hull0=y_hull[idx], y_term0=y_term[idx], rho0=rho[idx],
+        )
+        dU_s = sol.x.reshape(K, Nt, N_U)
+        dX_s = jnp.einsum("btin,bn->bti", S_s, sol.x) + phi_s
+        alpha = line_search(bank_s, X_s, U_s, dX_s, dU_s, hA_s, hb_s, tA_s, tb_s)
+        a = alpha[:, None, None]
+        X = X.at[idx].set(
+            jnp.concatenate([X_s[:, :1], X_s[:, 1:] + a * dX_s], axis=1)
+        )
+        U = U.at[idx].set(U_s + a * dU_s)
+        y_hull = y_hull.at[idx].set(sol.y_hull)
+        y_term = y_term.at[idx].set(sol.y_term)
+        rho = rho.at[idx].set(sol.rho.astype(rho.dtype))
+        kinv = kinv.at[idx].set(sol.kinv)
+        r_prim_f = r_prim_f.at[idx].set(sol.r_prim)
+        r_dual_f = r_dual_f.at[idx].set(sol.r_dual)
+        defect_f = defect_f.at[idx].set(jnp.max(jnp.abs(defects_s), axis=(1, 2)))
+        du_norm_f = du_norm_f.at[idx].set(alpha * jnp.max(jnp.abs(sol.x), axis=1))
+        term_gap_f = term_gap_f.at[idx].set(sol.term_gap)
 
     e_run = X[:, :-1, :N_OPT] - x_ref[None, :-1]
     cost = (
@@ -608,10 +670,11 @@ def sqp_solve_batch(
 
     info = SQPInfo(
         cost=cost,
-        r_prim=infos[0][-1],
-        r_dual=infos[1][-1],
-        defect=infos[2][-1],
-        du_norm=infos[3][-1],
+        r_prim=r_prim_f,
+        r_dual=r_dual_f,
+        defect=defect_f,
+        du_norm=du_norm_f,
+        term_gap=term_gap_f,
     )
     return (
         WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho, kinv=kinv),

@@ -64,6 +64,9 @@ class LanesSolution(NamedTuple):
     r_dual: jnp.ndarray  # (B,)
     rho: jnp.ndarray  # (B,)
     kinv: jnp.ndarray  # (B, n, n) inverse metric to carry into the next solve
+    # (B,) max violation of elastic terminal rows (the restoration
+    # infeasibility gap; 0 for scenarios whose restoration QP is feasible)
+    term_gap: jnp.ndarray = jnp.nan
 
 
 def _interpret() -> bool:
@@ -197,6 +200,7 @@ def _admm_kernel(
     sigma: float,
     alpha: float,
     iters: int,
+    elastic_y_max: float,
 ):
     n = Kinv_ref.shape[0]
     Nt = hh_ref.shape[0]
@@ -237,6 +241,10 @@ def _admm_kernel(
         zt_new = jnp.minimum(zt_hat + yt * inv_rho[None, :], ht)
         yh_new = yh + rho[None, None, :] * (zh_hat - zh_new)
         yt_new = yt + rho[None, :] * (zt_hat - zt_new)
+        if elastic_y_max > 0:
+            # elastic terminal rows: l1 exact-penalty dual clamp (see
+            # StructuredADMMConfig.elastic_y_max)
+            yt_new = jnp.clip(yt_new, 0.0, elastic_y_max)
         return (x_new, zh_new, zt_new, yh_new, yt_new)
 
     x, zh, zt, yh, yt = jax.lax.fori_loop(
@@ -268,6 +276,7 @@ def admm_lanes(
     sigma: float,
     alpha: float,
     iters: int,
+    elastic_y_max: float = 0.0,
 ):
     n, _, B = Kinv.shape
     F = hull_A.shape[0]
@@ -286,7 +295,8 @@ def admm_lanes(
         )
 
     kernel = functools.partial(
-        _admm_kernel, sigma=float(sigma), alpha=float(alpha), iters=int(iters)
+        _admm_kernel, sigma=float(sigma), alpha=float(alpha), iters=int(iters),
+        elastic_y_max=float(elastic_y_max),
     )
     out = pl.pallas_call(
         kernel,
@@ -424,6 +434,7 @@ def solve_mpc_qp_lanes(
             cfg.sigma,
             cfg.alpha,
             cfg.iters,
+            cfg.elastic_y_max,
         )
         x = jnp.moveaxis(x_l, -1, 0)[:B].astype(dtype)
         zh = jnp.moveaxis(zh_l, -1, 0)[:B].astype(dtype)
@@ -435,9 +446,17 @@ def solve_mpc_qp_lanes(
         # batched in XLA (one-shot ops, off the iteration hot path).
         Gh = jnp.einsum("btj,bfj->btf", x.reshape(B, Nt, N_U), qp.hull_A)
         Gt_x = jnp.einsum("btn,bn->bt", qp.G_term, x)
+        if cfg.elastic_y_max > 0:
+            # elastic rows at the dual clamp report their violation as
+            # term_gap, not solver residual (see mpc_qp.StructuredADMMConfig)
+            at_clamp = yt_n >= 0.999 * cfg.elastic_y_max
+            term_res = jnp.where(at_clamp, 0.0, jnp.abs(Gt_x - zt))
+        else:
+            term_res = jnp.abs(Gt_x - zt)
+        term_gap = jnp.max(jnp.maximum(Gt_x - qp.h_term, 0.0), axis=1)
         r_prim = jnp.maximum(
             jnp.max(jnp.abs(Gh - zh), axis=(1, 2)),
-            jnp.max(jnp.abs(Gt_x - zt), axis=1),
+            jnp.max(term_res, axis=1),
         )
         gty = (
             jnp.einsum("btf,bfj->btj", yh_n, qp.hull_A).reshape(B, n)
@@ -472,16 +491,16 @@ def solve_mpc_qp_lanes(
                 if kinv0 is None
                 else newton_kinv(K_next, kinv, max(newton_iters, 2))
             )
-        return (yh_n, yt_n, rho_new, x, zh, zt, kinv_new), (r_prim, r_dual)
+        return (yh_n, yt_n, rho_new, x, zh, zt, kinv_new), (r_prim, r_dual, term_gap)
 
     # same cold start as mpc_qp: x = 0, z = min(G 0, h) = min(0, h)
     x0 = jnp.zeros((B, n), dtype)
     zh0 = jnp.minimum(jnp.zeros_like(qp.h_hull), qp.h_hull)
     zt0 = jnp.minimum(jnp.zeros_like(qp.h_term), qp.h_term)
-    (yh, yt, rho, x, zh, zt, kinv), (rps, rds) = jax.lax.scan(
+    (yh, yt, rho, x, zh, zt, kinv), (rps, rds, gaps) = jax.lax.scan(
         run_phase, (yh, yt, rho, x0, zh0, zt0, kinv), None, length=cfg.phases
     )
     return LanesSolution(
         x=x, y_hull=yh, y_term=yt, r_prim=rps[-1], r_dual=rds[-1], rho=rho,
-        kinv=kinv,
+        kinv=kinv, term_gap=gaps[-1],
     )

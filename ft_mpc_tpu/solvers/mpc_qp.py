@@ -59,6 +59,23 @@ class StructuredADMMConfig(NamedTuple):
     # The lane-fused Pallas backend (solvers/lanes_qp.py) is a separate
     # entry point (solve_mpc_qp_lanes); this single-scenario path is pure
     # XLA by design.
+    #
+    # Elastic terminal rows (SNOPT-style elastic mode).  Terminal-set
+    # feasibility-restoration rows (controllers/spiraling.py term_relax)
+    # can conflict with the faulted input hull -- the QP is then genuinely
+    # (near-)infeasible, ADMM's residual floors at the infeasibility gap
+    # at ANY rho/iteration budget, and the reference's IPOPT simply
+    # reports infeasible and fails (`spiraling_mpc.py:347-353`).  Instead,
+    # terminal duals are clamped to [0, elastic_y_max], which is exactly
+    # the l1 exact-penalty relaxation: feasible QPs with ||y*||_inf <
+    # elastic_y_max are solved UNCHANGED (exact penalty theorem), while
+    # infeasible ones converge to the minimum-violation solution.  Rows at
+    # the clamp are excluded from r_prim (the solver residual) and their
+    # violation is reported as `term_gap` (the restoration gap -- a
+    # property of the scenario, not solver error).  Matches the merit
+    # line search, which already treats violations as an l1 penalty at
+    # ls_penalty = 1e3.  0 disables (hard rows, legacy behavior).
+    elastic_y_max: float = 1e3
 
 
 class StructuredSolution(NamedTuple):
@@ -68,6 +85,9 @@ class StructuredSolution(NamedTuple):
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
     rho: jnp.ndarray  # adapted step size (carry across solves to skip phases)
+    # Max violation of elastic terminal rows (0 when the scenario's
+    # restoration step is feasible; the infeasibility gap otherwise).
+    term_gap: jnp.ndarray = jnp.nan
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -126,6 +146,8 @@ def solve_mpc_qp(
             zt_new = jnp.minimum(zt_hat + yt / rho, qp.h_term)
             yh_new = yh + rho * (zh_hat - zh_new)
             yt_new = yt + rho * (zt_hat - zt_new)
+            if cfg.elastic_y_max > 0:
+                yt_new = jnp.clip(yt_new, 0.0, cfg.elastic_y_max)
             return (x_new, zh_new, zt_new, yh_new, yt_new)
 
         x, zh, zt, yh, yt = jax.lax.fori_loop(
@@ -133,9 +155,15 @@ def solve_mpc_qp(
         )
 
         Gh, Gt = Gx(x)
-        r_prim = jnp.maximum(
-            jnp.max(jnp.abs(Gh - zh)), jnp.max(jnp.abs(Gt - zt))
-        )
+        if cfg.elastic_y_max > 0:
+            # Rows at the dual clamp are elastic: their violation is the
+            # restoration gap, not solver error (see elastic_y_max doc).
+            at_clamp = yt >= 0.999 * cfg.elastic_y_max
+            term_res = jnp.where(at_clamp, 0.0, jnp.abs(Gt - zt))
+        else:
+            term_res = jnp.abs(Gt - zt)
+        term_gap = jnp.max(jnp.maximum(Gt - qp.h_term, 0.0))
+        r_prim = jnp.maximum(jnp.max(jnp.abs(Gh - zh)), jnp.max(term_res))
         dual_vec = qp.H @ x + qp.g + GTy(yh, yt)
         r_dual = jnp.max(jnp.abs(dual_vec))
         prim_scale = jnp.maximum(
@@ -148,7 +176,7 @@ def solve_mpc_qp(
         # Bound the per-phase change so a warm-carried rho stays stable.
         factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
         rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
-        return (x, zh, zt, yh, yt, rho_new), (r_prim, r_dual)
+        return (x, zh, zt, yh, yt, rho_new), (r_prim, r_dual, term_gap)
 
     rho_init = (
         jnp.asarray(cfg.rho, dtype)
@@ -156,9 +184,10 @@ def solve_mpc_qp(
         else jnp.clip(rho0, cfg.rho_min, cfg.rho_max).astype(dtype)
     )
 
-    (x, zh, zt, yh, yt, rho_out), (rps, rds) = jax.lax.scan(
+    (x, zh, zt, yh, yt, rho_out), (rps, rds, gaps) = jax.lax.scan(
         run_phase, (x, zh, zt, yh, yt, rho_init), None, length=cfg.phases
     )
     return StructuredSolution(
-        x=x, y_hull=yh, y_term=yt, r_prim=rps[-1], r_dual=rds[-1], rho=rho_out
+        x=x, y_hull=yh, y_term=yt, r_prim=rps[-1], r_dual=rds[-1], rho=rho_out,
+        term_gap=gaps[-1],
     )

@@ -224,3 +224,83 @@ def test_batched_rollout_lanes_certified():
     e0 = np.linalg.norm(np.asarray(h_l.c0[:, 0, 0:3] - h_l.x_ref0[:, 0, 0:3]), axis=1)
     eT = np.linalg.norm(np.asarray(h_l.c0[:, -1, 0:3] - h_l.x_ref0[:, -1, 0:3]), axis=1)
     assert (eT < e0).all()
+
+
+# ---------------------------------------------------------------------------
+# elastic terminal rows (exact-penalty feasibility restoration) + tail cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_elastic_matches_hard_on_feasible(rng):
+    """Exact-penalty theorem: with ||y*||_inf << elastic_y_max, clamping the
+    terminal duals changes nothing on a feasible QP -- bit-identical on the
+    XLA path and kernel-identical on lanes."""
+    qp = random_structured_qp(rng, B=4)
+    hard = StructuredADMMConfig(iters=60, phases=2, rho=1.0, elastic_y_max=0.0)
+    el = StructuredADMMConfig(iters=60, phases=2, rho=1.0, elastic_y_max=1e3)
+    s_h = jax.vmap(lambda q: solve_mpc_qp(q, hard))(qp)
+    s_e = jax.vmap(lambda q: solve_mpc_qp(q, el))(qp)
+    np.testing.assert_array_equal(np.asarray(s_h.x), np.asarray(s_e.x))
+    assert float(jnp.max(s_e.term_gap)) == 0.0
+    l_h = solve_mpc_qp_lanes(qp, hard)
+    l_e = solve_mpc_qp_lanes(qp, el)
+    np.testing.assert_array_equal(np.asarray(l_h.x), np.asarray(l_e.x))
+    assert float(jnp.max(l_e.term_gap)) == 0.0
+
+
+def test_elastic_infeasible_converges_and_reports_gap(rng):
+    """Contradictory terminal rows (x_0 <= -1 AND x_0 >= 1) make the QP
+    infeasible: the hard solver's r_prim floors at the infeasibility gap at
+    any budget (this is what IPOPT reports as 'infeasible' in the
+    reference, `spiraling_mpc.py:347-353`), while elastic mode converges
+    (small r_prim) and reports the violation as term_gap."""
+    qp = random_structured_qp(rng, B=2, T=4)
+    n = qp.g.shape[1]
+    row = np.zeros((2, 4, n), np.float32)
+    row[:, 0, 0] = 1.0   # x_0 <= -1
+    row[:, 1, 0] = -1.0  # -x_0 <= -1  (x_0 >= 1)
+    ht = np.full((2, 4), 1e8, np.float32)
+    ht[:, 0] = -1.0
+    ht[:, 1] = -1.0
+    qp = qp._replace(G_term=jnp.asarray(row), h_term=jnp.asarray(ht))
+    hard = StructuredADMMConfig(iters=400, phases=3, rho=10.0, elastic_y_max=0.0)
+    el = StructuredADMMConfig(iters=400, phases=3, rho=10.0, elastic_y_max=1e3)
+    s_h = jax.vmap(lambda q: solve_mpc_qp(q, hard))(qp)
+    s_e = jax.vmap(lambda q: solve_mpc_qp(q, el))(qp)
+    assert float(jnp.min(s_h.r_prim)) > 0.2          # hard mode cannot converge
+    assert float(jnp.max(s_e.r_prim)) < 1e-2         # elastic converges
+    assert 0.5 < float(jnp.min(s_e.term_gap)) < 1.6  # honest min-violation gap
+    # lanes backend agrees with the XLA elastic path
+    l_e = solve_mpc_qp_lanes(qp, el)
+    np.testing.assert_allclose(
+        np.asarray(l_e.term_gap), np.asarray(s_e.term_gap), atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(l_e.x), np.asarray(s_e.x), atol=5e-4)
+
+
+def test_cleanup_pass_tightens_tail():
+    """The tail-cleanup pass (gather worst-K -> exact-factor big-budget
+    re-solve -> scatter) must strictly improve the worst QP residuals of a
+    deliberately starved base budget."""
+    params, bank, weights, cfg0, x0, x_ref_full, u_ref_full = _bank_setup()
+    x_ref = x_ref_full[: cfg0.horizon + 1]
+    u_ref = u_ref_full[: cfg0.horizon + 1]
+    base = cfg0._replace(
+        sqp_iters=2,
+        admm=cfg0.admm._replace(iters=8, phases=1, rho=50.0, adapt_clip=1.5),
+    )
+    clean = base._replace(cleanup_iters=120, cleanup_k=2, cleanup_phases=1)
+    c0 = jax.vmap(robot_to_center)(bank.r, x0)
+
+    def solve(cfg):
+        warm = init_warmstart_batch(params, bank, weights, cfg, c0, x_ref, u_ref)
+        out = get_control_batch(
+            params, bank, weights, cfg, c0, x_ref, u_ref, warm
+        )
+        return np.sort(np.asarray(out.info.r_prim))[::-1]
+
+    rp_base = solve(base)
+    rp_clean = solve(clean)
+    # the two cleaned rows must improve materially; nothing may regress badly
+    assert rp_clean[0] < 0.5 * rp_base[0], (rp_base, rp_clean)
+    assert rp_clean[1] < rp_base[1] + 1e-6
