@@ -18,31 +18,31 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# (sqp_iters, admm_iters, phases, newton_iters)
+# (sqp_iters, admm_iters, phases, newton_iters, cleanup_iters, cleanup_k)
+# cleanup_iters = 0 disables the worst-K tail-cleanup pass.  All points run
+# with elastic terminal rows (the deployed default), so max_r_prim measures
+# solver convergence and restoration gaps are reported separately.
 CONFIGS = [
-    (2, 40, 1, 3),   # round-2 deployed config (anchor)
-    (2, 60, 1, 3),
-    (2, 80, 1, 3),
-    (2, 120, 1, 3),
-    (2, 60, 2, 3),
-    (2, 80, 2, 3),
-    (2, 120, 2, 3),
-    (3, 80, 1, 3),
-    (3, 80, 2, 3),
-    (3, 120, 2, 3),
-    (2, 160, 2, 3),
-    (2, 120, 2, 5),
-    (3, 160, 2, 3),
+    (2, 40, 1, 3, 0, 0),       # round-2 deployed config (fast anchor)
+    (2, 60, 1, 3, 0, 0),
+    (2, 120, 1, 3, 0, 0),
+    (2, 40, 1, 3, 300, 256),
+    (2, 60, 1, 3, 300, 256),   # round-3 deployed config
+    (2, 60, 1, 3, 400, 384),
+    (2, 80, 1, 3, 400, 256),
+    (3, 80, 1, 3, 600, 256),   # accuracy-max corner
 ]
 
 
-def run_point(sqp, iters, phases, newton, batch=2048):
+def run_point(sqp, iters, phases, newton, cleanup, cleanup_k, batch=2048):
     env = dict(os.environ)
     env.update(
         FT_MPC_BENCH_SQP=str(sqp),
         FT_MPC_BENCH_ITERS=str(iters),
         FT_MPC_BENCH_PHASES=str(phases),
         FT_MPC_BENCH_NEWTON=str(newton),
+        FT_MPC_BENCH_CLEANUP=str(cleanup),
+        FT_MPC_BENCH_CLEANUP_K=str(cleanup_k),
         FT_MPC_BENCH_BATCH=str(batch),
     )
     res = subprocess.run(
