@@ -58,39 +58,47 @@ def run_point(sqp, iters, phases, newton, cleanup, cleanup_k, batch=2048):
 def main():
     out_path = REPO / "benchmarks" / "pareto_r03.json"
     rows = json.loads(out_path.read_text()) if out_path.exists() else []
-    done = {
-        (r["sqp_iters"], r["admm_iters"], r["phases"], r["newton_iters"])
-        for r in rows
-        if "error" not in r
-    }
-    for sqp, iters, phases, newton in CONFIGS:
-        if (sqp, iters, phases, newton) in done:
+
+    def key(r):
+        return (r["sqp_iters"], r["admm_iters"], r["phases"],
+                r["newton_iters"], r.get("cleanup_iters", 0),
+                r.get("cleanup_k", 0))
+
+    done = {key(r) for r in rows if "error" not in r}
+    for cfg in CONFIGS:
+        if cfg in done:
             continue
-        out = run_point(sqp, iters, phases, newton)
+        sqp, iters, phases, newton, cleanup, cleanup_k = cfg
+        out = run_point(*cfg)
         row = {
             "sqp_iters": sqp, "admm_iters": iters, "phases": phases,
-            "newton_iters": newton, **out,
+            "newton_iters": newton, "cleanup_iters": cleanup,
+            "cleanup_k": cleanup_k, **out,
         }
-        rows = [r for r in rows if (r["sqp_iters"], r["admm_iters"],
-                r["phases"], r["newton_iters"]) != (sqp, iters, phases, newton)]
+        rows = [r for r in rows if key(r) != cfg]
         rows.append(row)
         out_path.write_text(json.dumps(rows, indent=2))
         print(json.dumps(row), flush=True)
 
     md = [
-        "| sqp | admm iters | phases | newton | solves/s | max_r_prim | ms/step |",
+        "| sqp | admm iters | cleanup | solves/s | max_r_prim | term_gap | ms/step |",
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        cl = (f"{r['cleanup_iters']}@K{r['cleanup_k']}"
+              if r.get("cleanup_iters") else "off")
         if "error" in r:
-            md.append(
-                f"| {r['sqp_iters']} | {r['admm_iters']} | {r['phases']} |"
-                f" {r['newton_iters']} | ERROR | — | — |"
-            )
+            md.append(f"| {r['sqp_iters']} | {r['admm_iters']} | {cl} |"
+                      f" ERROR | — | — | — |")
             continue
+        gap = r.get("max_term_gap")
         md.append(
-            f"| {r['sqp_iters']} | {r['admm_iters']} | {r['phases']} |"
-            f" {r['newton_iters']} | {r['value']:.0f} | {r['max_r_prim']:.2e} |"
+            f"| {r['sqp_iters']} | {r['admm_iters']}x{r['phases']} | {cl} |"
+            f" {r['value']:.0f} | {r['max_r_prim']:.2e} |"
+            f" {gap:.2e} | {r['per_step_latency_ms']:.1f} |"
+            if gap is not None else
+            f"| {r['sqp_iters']} | {r['admm_iters']}x{r['phases']} | {cl} |"
+            f" {r['value']:.0f} | {r['max_r_prim']:.2e} | — |"
             f" {r['per_step_latency_ms']:.1f} |"
         )
     (REPO / "benchmarks" / "pareto_r03.md").write_text("\n".join(md) + "\n")
