@@ -66,10 +66,12 @@ def main(B: int | None = None):
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
     # Deployed fast config: 2 warm-started RTI-SQP iterations, 60 lane-fused
     # ADMM iterations, Newton-refreshed inverse metric (tight adapt_clip
-    # keeps the carried metric trackable), plus the tail-cleanup pass
-    # (cleanup_* below).  Gated by benchmarks/accuracy.py (same config
-    # there): steady-state thruster deviation vs the float64
-    # 5-SQP-iteration golden is <0.05 N (~1.4% of max thrust).
+    # keeps the carried metric trackable), plus the worst-K tail-cleanup
+    # pass (cleanup_* below; 600x3 since r4 -- the full-census certified
+    # terminal sets make the tail harder than r3's bank, where 13 of these
+    # 32 patterns had no terminal rows at all).  Gated by
+    # benchmarks/accuracy.py (same config): steady-state thruster
+    # deviation vs the float64 5-SQP-iteration golden is <= 5e-3 N.
     cfg = MPCConfig(
         horizon=horizon,
         sqp_iters=int(os.environ.get("FT_MPC_BENCH_SQP", 2)),
@@ -84,9 +86,9 @@ def main(B: int | None = None):
         # exact factorization and a big ADMM budget (~K/B of a full step).
         # This is what moves max_r_prim from the ~2e-2 plateau of a flat
         # iteration budget to <=1e-3 while keeping >>10k solves/s.
-        cleanup_iters=int(os.environ.get("FT_MPC_BENCH_CLEANUP", 300)),
+        cleanup_iters=int(os.environ.get("FT_MPC_BENCH_CLEANUP", 600)),
         cleanup_k=int(os.environ.get("FT_MPC_BENCH_CLEANUP_K", 256)),
-        cleanup_phases=int(os.environ.get("FT_MPC_BENCH_CLEANUP_PHASES", 2)),
+        cleanup_phases=int(os.environ.get("FT_MPC_BENCH_CLEANUP_PHASES", 3)),
     )
 
     traj = generate_trajectory("hover", dt, 5)
@@ -152,6 +154,16 @@ def main(B: int | None = None):
     gaps = np.asarray(out.info.term_gap)
     max_gap = float(np.nanmax(gaps))
     n_gap = int(np.sum(gaps > 1e-3))
+    # With fault-aware orbit selection (controllers/orbit_search.py) every
+    # pattern in this bank is certifiable; gaps here are STATE-rate
+    # infeasibility (a tumbling random attitude cannot halve its terminal
+    # violation within one 1.5 s horizon under faulted actuation), not
+    # scenario infeasibility -- the closed loop drives them to zero
+    # (gated strictly in SANITIZER_r04, benchmarks/sanitizer_onchip.py).
+    # Here the gate only catches runaway violations (ADVICE r3: elastic
+    # rows must not silently absorb unbounded constraint violations).
+    gap_gate = float(os.environ.get("FT_MPC_BENCH_GAP_GATE", 1.0))
+    assert max_gap <= gap_gate, f"max_term_gap {max_gap:.2e} > {gap_gate}"
 
     result = {
         "metric": "batched fault-scenario MPC solves/s (1 chip, B=%d, Nt=%d)"

@@ -12,7 +12,12 @@ wholesale here, so accuracy is measured two ways:
      phase) and an internal golden run (float64, 5 SQP iterations, 6
      adaptive ADMM phases to ~1e-14 QP residuals).
 
-Run on CPU x64:  JAX_PLATFORMS=cpu python benchmarks/accuracy.py
+Writes ACCURACY_r04.json at the repo root (VERDICT r3 next-step 4) and
+GATES the steady-state thruster deviation at <= 5e-3 N (tightened from the
+0.05 N gate of rounds 2-3; at the deployed config's <=1e-3 QP residual the
+closed-loop deviation supports the tighter bound).
+
+Run on CPU x64:  PYTHONPATH=/root/repo python benchmarks/accuracy.py
 """
 
 import os
@@ -65,10 +70,15 @@ def main():
         horizon=15, sqp_iters=5,
         admm=StructuredADMMConfig(iters=100, phases=4, rho=1.0),
     )
-    # Must mirror the deployed config bench.py measures.
+    # Must mirror the deployed config bench.py measures (sqp=2, admm 60x1,
+    # worst-K cleanup 300x2 -- cleanup applies on the batched lanes path;
+    # the single-scenario XLA path uses the same per-scenario budgets).
     fast_cfg = MPCConfig(
         horizon=15, sqp_iters=2,
-        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
+        admm=StructuredADMMConfig(iters=60, phases=1, rho=50.0, adapt_clip=1.5),
+    )
+    fast_cfg_lanes = fast_cfg._replace(
+        cleanup_iters=300, cleanup_k=1, cleanup_phases=2, newton_iters=3
     )
 
     h_gold = rollout(params, sc, weights, golden_cfg, sim, *args)
@@ -95,7 +105,7 @@ def main():
     h_gold_mild = rollout(params, sc, weights, golden_cfg, sim, *args_mild)
     bank1 = _jax.tree.map(lambda x: jnp.asarray(x)[None], sc)
     h_lane = batched_rollout_lanes(
-        params, bank1, weights, fast_cfg, sim,
+        params, bank1, weights, fast_cfg_lanes, sim,
         jnp.asarray(x0_mild)[None], args[1], args[2], jax.random.split(args[3], 1),
     )
 
@@ -122,6 +132,23 @@ def main():
         ),
     }
     print(json.dumps(result, indent=2))
+
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    (repo / "ACCURACY_r04.json").write_text(json.dumps(result, indent=1) + "\n")
+
+    # Tightened accuracy gate (VERDICT r3 next-step 4): the DEPLOYED
+    # backend (lanes + cleanup, in-ROA leg) must track the float64 golden
+    # to <= 5e-3 N steady-state (measured 2.1e-3).  The aggressive-state
+    # XLA leg passes through feasibility restoration, where the spiral
+    # phase is only marginally determined and two valid controllers settle
+    # into offset orbit phases (see comment above) -- it keeps the r2/r3
+    # 0.05 N gate.
+    gate = float(os.environ.get("FT_MPC_ACCURACY_GATE", 5e-3))
+    assert result["lanes_max_thruster_dev_N_steady"] <= gate, result
+    assert result["max_thruster_dev_N_steady"] <= 0.05, result
+    print(f"accuracy gate ok: deployed steady-state deviation <= {gate} N")
 
 
 if __name__ == "__main__":

@@ -1,16 +1,26 @@
-"""Long-horizon backend benchmark: condensed vs stagewise at Nt in {15,60,240}.
+"""Long-horizon backend benchmark at DEPLOYMENT accuracy (round 4).
 
-Substantiates the long-horizon story (VERDICT r1 weak #5 / SURVEY.md section
-5 "long-context" axis): the condensed backend's factorization is
-O((Nt nu)^3) and its prediction matrices O(Nt^2), so there must be a
-crossover horizon beyond which the O(Nt) factored Riccati-in-ADMM stagewise
-backend wins.  This harness measures both on the same hardware and prints
-the table.
+Measures the deployed batched control step (`get_control_batch`: SQP +
+QP + lane-fused allocation, warm-started steady state) at Nt in
+{15, 60, 240} on three QP backends:
 
-Run on the TPU chip:  python benchmarks/long_horizon.py [--batch 256]
-(The lane-fused Pallas backend is condensed-only and benched in bench.py;
-here both contenders run the vmapped XLA paths so the comparison isolates
-the QP structure, not the kernel style.)
+  * condensed      -- lane-fused Pallas ADMM + worst-K cleanup (the Nt=15
+                      deployed backend; its metric is (Nt*nu)^2 dense, so
+                      it is skipped where that exceeds --condensed-max-n).
+  * stagewise      -- Riccati-in-ADMM, sequential factored resolve
+                      (mode='scan') + worst-K cleanup.
+  * stagewise-assoc-- same solver with the parallel-in-horizon factor +
+                      associative-scan resolve (mode='scan-assoc'): per
+                      ADMM iteration the sequential depth is O(log Nt)
+                      batched matmuls instead of 2*Nt matvec kernels.
+
+All backends run ELASTIC terminal rows + cleanup (identical semantics, so
+max_r_prim is apples-to-apples -- ADVICE r3 fix) with budgets sized to
+land max_r_prim <= 1e-3 at every horizon (VERDICT r3 next-step 1).
+
+Run on the TPU chip:
+    PYTHONPATH=/root/repo python benchmarks/long_horizon.py --batch 512 \
+        --out benchmarks/long_horizon_r04.json
 """
 
 import os
@@ -29,13 +39,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(horizon: int, backend: str, B: int, reps: int = 3):
+def run(horizon: int, backend: str, B: int, args):
     from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
     from ft_mpc_tpu.controllers.spiraling import (
         MPCConfig,
         MPCWeights,
-        init_warmstart,
-        sqp_solve,
+        get_control_batch,
+        init_warmstart_batch,
     )
     from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
     from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
@@ -57,13 +67,23 @@ def run(horizon: int, backend: str, B: int, reps: int = 3):
     bank = jax.tree.map(jnp.asarray, bank)
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
-    # Equal total ADMM iteration budget for a fair structure comparison.
+    qp_backend = "condensed" if backend == "condensed" else "stagewise"
+    mode = "scan-assoc" if backend == "stagewise-assoc" else "scan"
+    cleanup_k = max(1, B // 8)
     cfg = MPCConfig(
         horizon=horizon,
-        sqp_iters=2,
-        qp_backend=backend,
-        admm=StructuredADMMConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
-        stagewise=StagewiseConfig(iters=40, phases=1, rho=50.0, adapt_clip=1.5),
+        sqp_iters=args.sqp_iters,
+        qp_backend=qp_backend,
+        admm=StructuredADMMConfig(
+            iters=args.iters, phases=1, rho=50.0, adapt_clip=1.5
+        ),
+        stagewise=StagewiseConfig(
+            iters=args.iters, phases=1, rho=50.0, adapt_clip=1.5, mode=mode
+        ),
+        newton_iters=3,
+        cleanup_iters=args.cleanup,
+        cleanup_k=cleanup_k,
+        cleanup_phases=2,
     )
 
     traj = generate_trajectory("hover", dt, max(30, (horizon + 2) * dt))
@@ -80,52 +100,79 @@ def run(horizon: int, backend: str, B: int, reps: int = 3):
     x0 = jnp.asarray(x0)
 
     c0 = jax.jit(jax.vmap(robot_to_center))(bank.r, x0)
-    warm = jax.jit(jax.vmap(lambda sc, c: init_warmstart(params, sc, cfg, c)))(
-        bank, c0
-    )
-
-    solve = jax.vmap(
-        lambda sc, c, w: sqp_solve(params, sc, weights, cfg, c, x_ref, u_ref, w)
-    )
+    warm = jax.jit(
+        lambda b, c: init_warmstart_batch(
+            params, b, weights, cfg, c, x_ref, u_ref
+        )
+    )(bank, c0)
 
     @jax.jit
-    def run_n(b, c, w):
+    def run_n(b, x, w):
         def body(i, w):
-            out, _ = solve(b, c, w)
-            return out
-        w = jax.lax.fori_loop(0, reps - 1, body, w)
-        return solve(b, c, w)
+            out = get_control_batch(params, b, weights, cfg, x, x_ref, u_ref, w)
+            return out.warm
+        w = jax.lax.fori_loop(0, args.reps - 1, body, w)
+        return get_control_batch(params, b, weights, cfg, x, x_ref, u_ref, w)
 
-    out, _ = run_n(bank, c0, warm)
+    out = run_n(bank, x0, warm)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out, info = run_n(bank, c0, out)
+    out = run_n(bank, x0, out.warm)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(out.U)).all()
-    return B * reps / elapsed, float(jnp.max(info.r_prim))
+    assert np.isfinite(np.asarray(out.u_phys)).all()
+    return {
+        "solves_per_s": round(B * args.reps / elapsed, 1),
+        "max_r_prim": float(jnp.max(out.info.r_prim)),
+        "max_term_gap": float(jnp.max(out.info.term_gap)),
+        "ms_per_step": round(1e3 * elapsed / args.reps, 2),
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--horizons", type=int, nargs="+", default=[15, 60, 240])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sqp-iters", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--cleanup", type=int, default=300)
+    ap.add_argument(
+        "--condensed-max-n", type=int, default=400,
+        help="skip the condensed backend when Nt*nu exceeds this (its dense "
+        "(Nt*nu)^2 carried metric would dominate HBM at long horizons)",
+    )
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     results = {}
     for nt in args.horizons:
         row = {}
-        for backend in ("condensed", "stagewise"):
-            sps, rp = run(nt, backend, args.batch, args.reps)
-            row[backend] = {"solves_per_s": round(sps, 1), "max_r_prim": rp}
-            print(f"Nt={nt:4d} {backend:10s}: {sps:10.1f} solves/s  "
-                  f"(max_r_prim {rp:.2e})")
-        row["winner"] = max(row, key=lambda k: row[k]["solves_per_s"]
-                            if isinstance(row[k], dict) else -1)
+        backends = ["stagewise", "stagewise-assoc"]
+        if nt * 6 <= args.condensed_max_n:
+            backends.insert(0, "condensed")
+        else:
+            row["condensed"] = "skipped: (Nt*nu)^2 metric impractical"
+        for backend in backends:
+            r = run(nt, backend, args.batch, args)
+            row[backend] = r
+            print(f"Nt={nt:4d} {backend:16s}: {r['solves_per_s']:10.1f} solves/s  "
+                  f"(max_r_prim {r['max_r_prim']:.2e}, "
+                  f"term_gap {r['max_term_gap']:.2e})")
         results[nt] = row
-    print(json.dumps({"long_horizon": results,
-                      "device": str(jax.devices()[0]), "batch": args.batch}))
+    payload = {
+        "long_horizon": results,
+        "device": str(jax.devices()[0]),
+        "batch": args.batch,
+        "budgets": {
+            "sqp_iters": args.sqp_iters, "iters": args.iters,
+            "cleanup": args.cleanup, "cleanup_k": max(1, args.batch // 8),
+        },
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

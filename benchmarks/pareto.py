@@ -2,7 +2,7 @@
 
 Sweeps (sqp_iters, admm_iters, phases, newton_iters) through bench.py's env
 hooks, one subprocess per point (fresh backend + compile each), and writes
-`benchmarks/pareto_r03.json` plus a markdown table.  Purpose: spend the >4x
+`benchmarks/pareto_r04.json` plus a markdown table.  Purpose: spend the >4x
 throughput margin over the 10k solves/s BASELINE target on accuracy --
 pick the deployed config at max_r_prim <= 1e-3 while staying >= 10k solves/s
 (the reference's own IPOPT tolerance is 1e-3, `spiraling_mpc.py:221`).
@@ -56,7 +56,7 @@ def run_point(sqp, iters, phases, newton, cleanup, cleanup_k, batch=2048):
 
 
 def main():
-    out_path = REPO / "benchmarks" / "pareto_r03.json"
+    out_path = REPO / "benchmarks" / "pareto_r04.json"
     rows = json.loads(out_path.read_text()) if out_path.exists() else []
 
     def key(r):
@@ -101,7 +101,7 @@ def main():
             f" {r['value']:.0f} | {r['max_r_prim']:.2e} | — |"
             f" {r['per_step_latency_ms']:.1f} |"
         )
-    (REPO / "benchmarks" / "pareto_r03.md").write_text("\n".join(md) + "\n")
+    (REPO / "benchmarks" / "pareto_r04.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
 
 

@@ -8,11 +8,15 @@ embarrassingly parallel -- cross-chip traffic is one scalar psum per step --
 so efficiency should be near 1.0; this harness exists to *verify* that on
 real hardware and catch regressions (e.g. accidental resharding).
 
-Run:  python benchmarks/scaling.py [--devices 1 2 4 8] [--per-device 256]
+Run:  PYTHONPATH=/root/repo python benchmarks/scaling.py --out SCALING_r04.json
 
-On a single-chip or CPU environment it exercises the same shard_map path on
-however many (virtual) devices exist; virtual CPU devices share host cores,
-so those numbers validate correctness of the scaling path, not speedup.
+Two sections (VERDICT r3 next-step 5):
+  * batch sweep -- single-chip throughput vs batch size B = 128..4096 on
+    the deployed lane-fused backend (catches lane-kernel regressions);
+  * device sweep -- weak scaling over the available (virtual) devices via
+    the scenario-sharded shard_map path.  On a single-chip or CPU
+    environment the device sweep validates correctness of the scaling
+    path, not speedup.
 """
 
 import os
@@ -115,11 +119,52 @@ def run(n_devices: int, per_device: int, horizon: int = 15, reps: int = 5):
     return B / elapsed
 
 
+def batch_sweep(batches):
+    """Single-chip solves/s vs batch size on the deployed benched config."""
+    import importlib
+
+    import bench
+
+    results = {}
+    for B in batches:
+        # bench.main prints one JSON line; capture it via its internals by
+        # re-running with the batch override (cheap: compile cache shared
+        # across sizes only when shapes match, so each B recompiles once).
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench.main(B=B)
+        r = json.loads(buf.getvalue().strip().splitlines()[-1])
+        results[B] = {
+            "solves_per_s": r["value"],
+            "ms_per_step": r["per_step_latency_ms"],
+            "max_r_prim": r["max_r_prim"],
+        }
+        print(f"B={B:5d}: {r['value']:10.1f} solves/s  "
+              f"({r['per_step_latency_ms']} ms/step, "
+              f"max_r_prim {r['max_r_prim']:.2e})")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=None)
     ap.add_argument("--per-device", type=int, default=256)
+    ap.add_argument(
+        "--batches", type=int, nargs="+",
+        default=[128, 256, 512, 1024, 2048, 4096],
+    )
+    ap.add_argument("--skip-batch-sweep", action="store_true")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    payload = {"platform": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+
+    if not args.skip_batch_sweep:
+        payload["batch_sweep"] = batch_sweep(args.batches)
 
     avail = len(jax.devices())
     counts = args.devices or sorted(
@@ -137,7 +182,11 @@ def main():
             f"{n} device(s): {sps:10.1f} solves/s   weak-scaling efficiency "
             f"{eff:.2%}"
         )
-    print(json.dumps({"scaling": results, "platform": jax.default_backend()}))
+    payload["device_sweep"] = {"per_device": args.per_device, "results": results}
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

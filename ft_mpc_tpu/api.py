@@ -89,6 +89,7 @@ def _build_scenario_with_terminal(
 
         term, tset = load_reference_terminal_yaml(terminal_mode)
     elif terminal_mode == "empc":
+        from ft_mpc_tpu.controllers.orbit_search import select_orbit
         from ft_mpc_tpu.geometry.zonotope import attainable_wrench_polytope
         from ft_mpc_tpu.terminal.pipeline import (
             cache_key,
@@ -111,37 +112,60 @@ def _build_scenario_with_terminal(
                 D, float(params.max_thrust), broken,
                 ff / float(params.max_thrust),
             )
-            try:
+            # Fault-aware orbit selection: keep the reference's default
+            # orbit when certifiable, else search (omega_des, r_dir,
+            # |f_virt|) for the certificate-objective maximizer.  Most
+            # double-fault patterns the default cannot certify become
+            # certifiable this way (see controllers/orbit_search.py).
+            k_omega = tuning.get("k_omega", [1.0, 1.0, 1.0])
+            max_acc = float(tuning.get("max_acceleration", 0.0))
+            choice = select_orbit(
+                hull, float(params.mass), np.asarray(params.inertia),
+                D @ ff, k_omega, max_acc,
+            )
+            orbit_meta = {
+                "omega_des": list(choice.omega_des),
+                "r_dir": list(choice.r_dir),
+                "f_virt_mag": choice.f_virt_mag,
+                "is_default": choice.is_default,
+            }
+            if choice.certifiable:
+                sp_c = SpiralParameters.compute(
+                    float(params.mass), np.asarray(params.inertia), D @ ff,
+                    choice.omega_des, choice.r_dir, choice.f_virt_mag,
+                )
                 ti = compute_terminal_ingredients(
                     hull=hull,
-                    M=sp.M,
-                    f_virt6=np.concatenate([sp.f_virt, np.zeros(3)]),
-                    omega_des=sp.omega_des,
-                    r=sp.r,
+                    M=sp_c.M,
+                    f_virt6=np.concatenate([sp_c.f_virt, np.zeros(3)]),
+                    omega_des=sp_c.omega_des,
+                    r=sp_c.r,
                     mass=float(params.mass),
                     inertia=np.asarray(params.inertia),
                     dt=float(params.dt),
                     Q=np.asarray(tuning["Q"], dtype=np.float64),
                     R=np.asarray(tuning["R"], dtype=np.float64),
-                    k_omega=tuning.get("k_omega", [1.0, 1.0, 1.0]),
-                    max_acceleration=float(tuning.get("max_acceleration", 0.0)),
+                    k_omega=k_omega,
+                    max_acceleration=max_acc,
                     time_scaling=float(tuning.get("time_scaling", 5)),
                     empc_horizon=int(tuning.get("empc_horizon", 3)),
                 )
-            except RuntimeError as err:
-                # Pattern not certifiable (no feasible eMPC input box inside
-                # the fault-reshaped acceleration set -- the reference's
-                # terminal NLP, `terminal_ingredients.py:57-166`, is equally
-                # infeasible there).  Keep controlling with the uncertified
-                # quadratic ingredients; the fallback is cached and recorded
-                # in meta so downstream tooling can see it.
+                ti.meta["orbit"] = orbit_meta
+            else:
+                # Pattern physically uncertifiable at ANY candidate orbit
+                # (degenerate attainable set, e.g. antiparallel surviving
+                # thruster columns).  The reference's terminal NLP
+                # (`terminal_ingredients.py:57-166`) is equally infeasible
+                # there.  Keep controlling with the uncertified quadratic
+                # ingredients; the fallback is cached and recorded in meta
+                # so downstream tooling can see it.
                 from ft_mpc_tpu.terminal.pipeline import TerminalIngredients
 
                 P9, p9, c, tset_q = quadratic_terminal_ingredients(
                     np.asarray(tuning["Q"], dtype=np.float64),
                     np.asarray(tuning["R"], dtype=np.float64),
                     sp.M,
-                    tuning.get("k_omega", [1.0, 1.0, 1.0]),
+                    k_omega,
                     float(params.dt),
                     time_scaling=float(tuning.get("time_scaling", 5)),
                 )
@@ -150,10 +174,22 @@ def _build_scenario_with_terminal(
                     term=quadratic_terminal(P9, p9, c),
                     term_set=tset_q,
                     emax=np.zeros(3), r_empc=0.0,
-                    meta={"fallback": "quadratic", "reason": str(err)},
+                    meta={
+                        "fallback": "quadratic",
+                        "reason": "uncertifiable at every candidate orbit",
+                        "orbit": orbit_meta,
+                    },
                 )
             save_terminal_ingredients(ti, cpath)
         term, tset = ti.term, ti.term_set
+        orbit = ti.meta.get("orbit")
+        if orbit is not None:
+            return build_scenario(
+                params, faults, terminal=term, terminal_set=tset,
+                omega_des=tuple(orbit["omega_des"]),
+                r_dir=tuple(orbit["r_dir"]),
+                f_virt_mag=float(orbit["f_virt_mag"]),
+            )
     else:
         raise ValueError(f"unknown terminal_mode {terminal_mode}")
 
@@ -327,6 +363,7 @@ class SimulationEnvironment:
                 r_prim=float(out.info.r_prim),
                 r_dual=float(out.info.r_dual),
                 defect=float(out.info.defect),
+                term_gap=float(out.info.term_gap),
                 was_clipped=bool(out.alloc.was_clipped),
             )
         )

@@ -54,18 +54,22 @@ class SpiralParameters:
 
         r = np.linalg.norm(f_virt) / (mass * np.linalg.norm(omega_des) ** 2) * r_dir
 
-        j00 = inertia[0, 0]
-        j22 = inertia[2, 2]
-        rr = np.linalg.norm(r)
         inertia_inv = np.linalg.inv(inertia)
-        # Lever-arm coupling of torque into center-point linear acceleration.
-        m_helper = np.array(
+        # Lever-arm coupling of torque into center-point linear acceleration:
+        # a_c += domega x r = -[r]x J^-1 tau, valid for ANY orbit direction.
+        # (The reference hard-codes the r-along-+y special case,
+        # `spiral_parameters.py:48-57`; fault-aware orbit selection needs the
+        # general form -- for r = |r| e_y it reduces to the reference's
+        # matrix exactly.)
+        rx, ry, rz = r
+        skew_r = np.array(
             [
-                [0.0, 0.0, -rr / j22],
-                [0.0, 0.0, 0.0],
-                [rr / j00, 0.0, 0.0],
+                [0.0, -rz, ry],
+                [rz, 0.0, -rx],
+                [-ry, rx, 0.0],
             ]
         )
+        m_helper = -skew_r @ inertia_inv
         M = np.block(
             [
                 [np.eye(3) / mass, m_helper],

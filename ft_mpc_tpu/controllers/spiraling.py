@@ -140,9 +140,10 @@ class SQPInfo(NamedTuple):
     # Max violation of the elastic terminal-restoration rows (see
     # StructuredADMMConfig.elastic_y_max): 0 when the restoration step is
     # feasible, the infeasibility gap when the faulted input hull cannot
-    # shrink the terminal violation at the required rate.  NaN on backends
-    # without elastic rows (stagewise).
-    term_gap: jnp.ndarray = jnp.nan
+    # shrink the terminal violation at the required rate.  Provided by
+    # EVERY backend (condensed, lanes, stagewise) -- never NaN; 0 when
+    # elastic rows are disabled.
+    term_gap: jnp.ndarray = 0.0  # plain float: no import-time backend init
 
 
 def init_warmstart(
@@ -313,7 +314,9 @@ def _assemble_condensed_batch(
     kernel, plain batched einsums for the dense QP pieces.
 
     Same math as vmap(_assemble_condensed); the condensing recursion runs
-    in one Pallas kernel instead of a 15-step XLA scan.
+    in one Pallas kernel instead of a 15-step XLA scan.  x_ref carries a
+    leading scenario axis (B, Nt+1, 9): omega rows are per-scenario
+    (fault-aware orbits may differ across the bank).
     """
     from ft_mpc_tpu.solvers.lanes_condense import condense_lanes
 
@@ -336,7 +339,7 @@ def _assemble_condensed_batch(
 
     S_all, phi_all = condense_lanes(A_stack, B_stack, defects)
     S9 = S_all[:, :, :N_OPT, :]
-    e0 = X[:, 1:, :N_OPT] + phi_all[:, :, :N_OPT] - x_ref[None, 1:]
+    e0 = X[:, 1:, :N_OPT] + phi_all[:, :, :N_OPT] - x_ref[:, 1:]
 
     S9_run, e0_run = S9[:, :-1], e0[:, :-1]
     S9_N, e0_N = S9[:, -1], e0[:, -1]
@@ -416,6 +419,13 @@ def sqp_solve(
     """Fixed-iteration SQP on the spiraling MPC problem (one scenario)."""
     Nt = cfg.horizon
     dtype = c0.dtype
+
+    # The omega rows of the reference are BY CONSTRUCTION the scenario's
+    # micro-orbit spin rate (the reference overwrites them with omega_des in
+    # `assign_trajectory`, spiraling_mpc.py:240-286).  Sourcing them from the
+    # scenario keeps a shared x_ref window correct for banks whose rows use
+    # different fault-aware orbits (controllers/orbit_search.py).
+    x_ref = x_ref.at[:, 6:9].set(scenario.omega_des.astype(dtype))
 
     hull_A, hull_b, term_A, term_b = _masked_geometry(scenario)
 
@@ -502,7 +512,7 @@ def sqp_solve(
             sol.r_dual,
             jnp.max(jnp.abs(defects)),
             alpha * du_raw,
-            jnp.asarray(getattr(sol, "term_gap", jnp.nan), X.dtype),
+            jnp.asarray(sol.term_gap, X.dtype),
         )
         return (X_new, U_new, sol.y_hull, sol.y_term, rho_new), info
 
@@ -561,6 +571,13 @@ def sqp_solve_batch(
 
     Nt = cfg.horizon
 
+    # per-scenario reference: omega rows come from each scenario's orbit
+    # (see sqp_solve; fault-aware orbits differ across the bank)
+    x_ref = jnp.broadcast_to(x_ref, (c0.shape[0],) + x_ref.shape)
+    x_ref = x_ref.at[:, :, 6:9].set(
+        bank.omega_des[:, None, :].astype(x_ref.dtype)
+    )
+
     hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
 
     if warm.kinv is None:
@@ -573,19 +590,19 @@ def sqp_solve_batch(
 
     # params/weights/cfg/x_ref/u_ref are loop-invariant: close over them
     # (cfg carries non-array leaves vmap must not traverse).
-    assemble = lambda sc, X, U, hA, hb, tA, tb: _assemble_condensed_batch(
-        params, sc, weights, cfg, X, U, x_ref, u_ref, hA, hb, tA, tb
+    assemble = lambda sc, xr, X, U, hA, hb, tA, tb: _assemble_condensed_batch(
+        params, sc, weights, cfg, X, U, xr, u_ref, hA, hb, tA, tb
     )
     line_search = jax.vmap(
-        lambda sc, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
-            params, sc, weights, cfg, X, U, dX, dU, x_ref, u_ref, hA, hb, tA, tb
+        lambda sc, xr, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
+            params, sc, weights, cfg, X, U, dX, dU, xr, u_ref, hA, hb, tA, tb
         )
     )
 
     def sqp_iteration(carry, _):
         X, U, yh, yt, rho, kinv = carry
         qp, S_all, phi_all, defects = assemble(
-            bank, X, U, hull_A, hull_b, term_A, term_b
+            bank, x_ref, X, U, hull_A, hull_b, term_A, term_b
         )
         sol = solve_mpc_qp_lanes(
             qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho, kinv0=kinv,
@@ -594,7 +611,7 @@ def sqp_solve_batch(
         dU = sol.x.reshape(-1, Nt, N_U)
         dX = jnp.einsum("btin,bn->bti", S_all, sol.x) + phi_all
         alpha = line_search(
-            bank, X, U, dX, dU, hull_A, hull_b, term_A, term_b
+            bank, x_ref, X, U, dX, dU, hull_A, hull_b, term_A, term_b
         )  # (B,)
         a = alpha[:, None, None]
         U_new = U + a * dU
@@ -631,7 +648,7 @@ def sqp_solve_batch(
         hA_s, hb_s = hull_A[idx], hull_b[idx]
         tA_s, tb_s = term_A[idx], term_b[idx]
         qp_s, S_s, phi_s, defects_s = assemble(
-            bank_s, X_s, U_s, hA_s, hb_s, tA_s, tb_s
+            bank_s, x_ref[idx], X_s, U_s, hA_s, hb_s, tA_s, tb_s
         )
         ccfg = cfg.admm._replace(
             iters=cfg.cleanup_iters, phases=cfg.cleanup_phases, adapt_clip=5.0
@@ -644,7 +661,9 @@ def sqp_solve_batch(
         )
         dU_s = sol.x.reshape(K, Nt, N_U)
         dX_s = jnp.einsum("btin,bn->bti", S_s, sol.x) + phi_s
-        alpha = line_search(bank_s, X_s, U_s, dX_s, dU_s, hA_s, hb_s, tA_s, tb_s)
+        alpha = line_search(
+            bank_s, x_ref[idx], X_s, U_s, dX_s, dU_s, hA_s, hb_s, tA_s, tb_s
+        )
         a = alpha[:, None, None]
         X = X.at[idx].set(
             jnp.concatenate([X_s[:, :1], X_s[:, 1:] + a * dX_s], axis=1)
@@ -660,12 +679,12 @@ def sqp_solve_batch(
         du_norm_f = du_norm_f.at[idx].set(alpha * jnp.max(jnp.abs(sol.x), axis=1))
         term_gap_f = term_gap_f.at[idx].set(sol.term_gap)
 
-    e_run = X[:, :-1, :N_OPT] - x_ref[None, :-1]
+    e_run = X[:, :-1, :N_OPT] - x_ref[:, :-1]
     cost = (
         jnp.einsum("bti,ij,btj->b", e_run, weights.Q, e_run)
         + jnp.einsum("bti,ij,btj->b", U, weights.R, U)
     )
-    e_N = X[:, -1, :N_OPT] - x_ref[None, -1]
+    e_N = X[:, -1, :N_OPT] - x_ref[:, -1]
     cost = cost + jax.vmap(terminal_value)(bank.term, e_N)
 
     info = SQPInfo(
@@ -680,6 +699,56 @@ def sqp_solve_batch(
         WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho, kinv=kinv),
         info,
     )
+
+
+def sqp_solve_batch_stagewise(
+    params: BodyParams,
+    bank: Scenario,  # leading scenario-batch axis on every leaf
+    weights: MPCWeights,
+    cfg: MPCConfig,
+    c0: jnp.ndarray,  # (B, 13)
+    x_ref: jnp.ndarray,
+    u_ref: jnp.ndarray,
+    warm: WarmStart,  # batched leaves; kinv None (no condensed metric)
+) -> tuple[WarmStart, SQPInfo]:
+    """Batched SQP on the stagewise (Riccati-in-ADMM) backend + tail cleanup.
+
+    vmap of `sqp_solve` with `qp_backend='stagewise'`, then -- the same
+    worst-K discipline as the lane-fused backend (`MPCConfig.cleanup_*`) --
+    the K scenarios with the worst QP primal residual get one extra SQP
+    iteration with a cleanup_iters x cleanup_phases ADMM budget.  This is
+    what brings the long-horizon backend to the deployed residual class
+    (<=1e-3) without paying a worst-case iteration count on all B
+    scenarios (VERDICT r3 next-step 1).
+    """
+    solve = jax.vmap(
+        lambda sc, c, w: sqp_solve(params, sc, weights, cfg, c, x_ref, u_ref, w)
+    )
+    new_warm, info = solve(bank, c0, warm)
+
+    if cfg.cleanup_iters > 0 and cfg.cleanup_k > 0:
+        K = min(cfg.cleanup_k, c0.shape[0])
+        _, idx = jax.lax.top_k(info.r_prim, K)
+        ccfg = cfg._replace(
+            sqp_iters=1,
+            stagewise=cfg.stagewise._replace(
+                iters=cfg.cleanup_iters,
+                phases=cfg.cleanup_phases,
+                adapt_clip=5.0,
+            ),
+            cleanup_iters=0,
+        )
+        bank_s = jax.tree.map(lambda a: a[idx], bank)
+        warm_s = jax.tree.map(lambda a: a[idx], new_warm)
+        solve_c = jax.vmap(
+            lambda sc, c, w: sqp_solve(
+                params, sc, weights, ccfg, c, x_ref, u_ref, w
+            )
+        )
+        warm_c, info_c = solve_c(bank_s, c0[idx], warm_s)
+        new_warm = jax.tree.map(lambda a, b: a.at[idx].set(b), new_warm, warm_c)
+        info = jax.tree.map(lambda a, b: a.at[idx].set(b), info, info_c)
+    return new_warm, info
 
 
 class ControlOutput(NamedTuple):
@@ -742,6 +811,10 @@ def init_warmstart_batch(
     if cfg.qp_backend == "stagewise":
         return warm
     hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
+    x_ref = jnp.broadcast_to(x_ref, (c0.shape[0],) + x_ref.shape)
+    x_ref = x_ref.at[:, :, 6:9].set(
+        bank.omega_des[:, None, :].astype(x_ref.dtype)
+    )
     qp, _, _, _ = _assemble_condensed_batch(
         params, bank, weights, cfg, warm.X, warm.U, x_ref, u_ref,
         hull_A, hull_b, term_A, term_b,
@@ -776,11 +849,9 @@ def get_control_batch(
 
     c0 = jax.vmap(robot_to_center)(bank.r, x0)
     if cfg.qp_backend == "stagewise":
-        new_warm, info = jax.vmap(
-            lambda sc, c, w: sqp_solve(
-                params, sc, weights, cfg, c, x_ref, u_ref, w
-            )
-        )(bank, c0, warm)
+        new_warm, info = sqp_solve_batch_stagewise(
+            params, bank, weights, cfg, c0, x_ref, u_ref, warm
+        )
     else:
         new_warm, info = sqp_solve_batch(
             params, bank, weights, cfg, c0, x_ref, u_ref, warm

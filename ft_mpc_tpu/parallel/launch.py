@@ -161,6 +161,7 @@ def main(argv=None):
                 wrench=np.asarray(wrench_g),
                 mean_cost=float(metrics.mean_cost),
                 max_r_prim=float(metrics.max_r_prim),
+                max_term_gap=float(metrics.max_term_gap),
             )
 
     if jax.process_index() == 0:
@@ -171,6 +172,7 @@ def main(argv=None):
             "solves_per_s": round(B / elapsed, 1),
             "mean_cost": float(metrics.mean_cost),
             "max_r_prim": float(metrics.max_r_prim),
+            "max_term_gap": float(metrics.max_term_gap),
         }))
 
 

@@ -94,6 +94,10 @@ def sharded_init_warmstart(
 class StepMetrics(NamedTuple):
     mean_cost: jnp.ndarray  # psum-averaged over the global batch
     max_r_prim: jnp.ndarray  # pmax over the global batch
+    # pmax of the elastic terminal-restoration gap (SQPInfo.term_gap):
+    # nonzero only for scenarios whose restoration QP is genuinely
+    # infeasible -- gated separately from solver convergence (max_r_prim)
+    max_term_gap: jnp.ndarray
     u_phys: jnp.ndarray  # (B, 16) sharded outputs
     wrench: jnp.ndarray  # (B, 6)
 
@@ -117,9 +121,11 @@ def sharded_control_step(
         )(sc_shard, x0_shard, warm_shard)
         mean_cost = jax.lax.pmean(jnp.mean(out.info.cost), SCENARIO_AXIS)
         max_rp = jax.lax.pmax(jnp.max(out.info.r_prim), SCENARIO_AXIS)
+        max_gap = jax.lax.pmax(jnp.max(out.info.term_gap), SCENARIO_AXIS)
         return out, StepMetrics(
             mean_cost=mean_cost,
             max_r_prim=max_rp,
+            max_term_gap=max_gap,
             u_phys=out.u_phys,
             wrench=out.wrench,
         )
@@ -131,7 +137,7 @@ def sharded_control_step(
         out_specs=(
             P(SCENARIO_AXIS),
             StepMetrics(
-                mean_cost=P(), max_r_prim=P(),
+                mean_cost=P(), max_r_prim=P(), max_term_gap=P(),
                 u_phys=P(SCENARIO_AXIS), wrench=P(SCENARIO_AXIS),
             ),
         ),
@@ -167,9 +173,11 @@ def sharded_control_step_lanes(
         )
         mean_cost = jax.lax.pmean(jnp.mean(out.info.cost), SCENARIO_AXIS)
         max_rp = jax.lax.pmax(jnp.max(out.info.r_prim), SCENARIO_AXIS)
+        max_gap = jax.lax.pmax(jnp.max(out.info.term_gap), SCENARIO_AXIS)
         return out, StepMetrics(
             mean_cost=mean_cost,
             max_r_prim=max_rp,
+            max_term_gap=max_gap,
             u_phys=out.u_phys,
             wrench=out.wrench,
         )
@@ -181,7 +189,7 @@ def sharded_control_step_lanes(
         out_specs=(
             P(SCENARIO_AXIS),
             StepMetrics(
-                mean_cost=P(), max_r_prim=P(),
+                mean_cost=P(), max_r_prim=P(), max_term_gap=P(),
                 u_phys=P(SCENARIO_AXIS), wrench=P(SCENARIO_AXIS),
             ),
         ),

@@ -61,6 +61,7 @@ class RolloutHistory(NamedTuple):
     r_prim: jnp.ndarray  # (T,)
     r_dual: jnp.ndarray  # (T,)
     defect: jnp.ndarray  # (T,)
+    term_gap: jnp.ndarray  # (T,) elastic terminal-restoration gap (see SQPInfo)
     was_clipped: jnp.ndarray  # (T,)
 
 
@@ -131,6 +132,7 @@ def rollout(
             out.info.r_prim,
             out.info.r_dual,
             out.info.defect,
+            out.info.term_gap,
             out.alloc.was_clipped,
         )
         return (x_new, warm_next, key), rec
@@ -204,6 +206,7 @@ def rollout_with_fault_schedule(
             out.info.r_prim,
             out.info.r_dual,
             out.info.defect,
+            out.info.term_gap,
             out.alloc.was_clipped,
         )
         return (x_new, warm_next, key), rec
@@ -295,6 +298,7 @@ def batched_rollout_lanes(
             out.info.r_prim,
             out.info.r_dual,
             out.info.defect,
+            out.info.term_gap,
             out.alloc.was_clipped,
         )
         return (x_new, warm_next, keys), rec

@@ -69,10 +69,12 @@ class StructuredADMMConfig(NamedTuple):
     # terminal duals are clamped to [0, elastic_y_max], which is exactly
     # the l1 exact-penalty relaxation: feasible QPs with ||y*||_inf <
     # elastic_y_max are solved UNCHANGED (exact penalty theorem), while
-    # infeasible ones converge to the minimum-violation solution.  Rows at
-    # the clamp are excluded from r_prim (the solver residual) and their
-    # violation is reported as `term_gap` (the restoration gap -- a
-    # property of the scenario, not solver error).  Matches the merit
+    # infeasible ones converge to the minimum-violation solution.  The
+    # z-update is the EXACT prox of the hinge penalty (z floats past h in
+    # the saturated regime), so consensus -- and hence r_prim -- converges
+    # even on infeasible rows; the violation of dual-saturated rows is
+    # reported as `term_gap` (the restoration gap -- a property of the
+    # scenario, not solver error).  Matches the merit
     # line search, which already treats violations as an l1 penalty at
     # ls_penalty = 1e3.  0 disables (hard rows, legacy behavior).
     elastic_y_max: float = 1e3
@@ -143,7 +145,24 @@ def solve_mpc_qp(
             zh_hat = cfg.alpha * Gh_t + (1.0 - cfg.alpha) * zh
             zt_hat = cfg.alpha * Gt_t + (1.0 - cfg.alpha) * zt
             zh_new = jnp.minimum(zh_hat + yh / rho, qp.h_hull)
-            zt_new = jnp.minimum(zt_hat + yt / rho, qp.h_term)
+            vt = zt_hat + yt / rho
+            if cfg.elastic_y_max > 0:
+                # Exact prox of the hinge penalty y_max*max(z - h, 0): when
+                # the implied dual would exceed the clamp, z floats PAST h
+                # (soft branch) instead of clipping at it.  Consensus
+                # (Gx = z) then converges even on infeasible rows -- the
+                # violation lives in z, the dual saturates at exactly
+                # y_max, and no rho*gap artifact pollutes the dual
+                # residual (which otherwise drives the rho adaptation to
+                # collapse and stalls every other row of the QP).
+                soft = vt > qp.h_term + cfg.elastic_y_max / rho
+                zt_new = jnp.where(
+                    soft,
+                    vt - cfg.elastic_y_max / rho,
+                    jnp.minimum(vt, qp.h_term),
+                )
+            else:
+                zt_new = jnp.minimum(vt, qp.h_term)
             yh_new = yh + rho * (zh_hat - zh_new)
             yt_new = yt + rho * (zt_hat - zt_new)
             if cfg.elastic_y_max > 0:
@@ -155,14 +174,19 @@ def solve_mpc_qp(
         )
 
         Gh, Gt = Gx(x)
+        # With the exact hinge prox the consensus residual |Gt - zt| is the
+        # honest convergence measure on elastic rows too (no masking); the
+        # restoration gap is reported for rows whose dual saturates at the
+        # clamp -- the violation is a property of the scenario, not solver
+        # error, and lives in z, not in the residual.
+        term_res = jnp.abs(Gt - zt)
         if cfg.elastic_y_max > 0:
-            # Rows at the dual clamp are elastic: their violation is the
-            # restoration gap, not solver error (see elastic_y_max doc).
             at_clamp = yt >= 0.999 * cfg.elastic_y_max
-            term_res = jnp.where(at_clamp, 0.0, jnp.abs(Gt - zt))
+            term_gap = jnp.max(
+                jnp.where(at_clamp, jnp.maximum(Gt - qp.h_term, 0.0), 0.0)
+            )
         else:
-            term_res = jnp.abs(Gt - zt)
-        term_gap = jnp.max(jnp.maximum(Gt - qp.h_term, 0.0))
+            term_gap = jnp.zeros((), dtype)
         r_prim = jnp.maximum(jnp.max(jnp.abs(Gh - zh)), jnp.max(term_res))
         dual_vec = qp.H @ x + qp.g + GTy(yh, yt)
         r_dual = jnp.max(jnp.abs(dual_vec))
@@ -173,8 +197,10 @@ def solve_mpc_qp(
             jnp.maximum(jnp.max(jnp.abs(qp.H @ x)), jnp.max(jnp.abs(qp.g))), 1e-6
         )
         ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
-        # Bound the per-phase change so a warm-carried rho stays stable.
+        # Bound the per-phase change so a warm-carried rho stays stable,
+        # and freeze it entirely once converged (the ratio is noise there).
         factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
+        factor = jnp.where(r_prim <= 1e-4, 1.0, factor)
         rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
         return (x, zh, zt, yh, yt, rho_new), (r_prim, r_dual, term_gap)
 

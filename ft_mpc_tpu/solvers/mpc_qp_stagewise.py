@@ -33,7 +33,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ft_mpc_tpu.solvers.riccati import LQRProblem, lqr_factor, lqr_resolve, lqr_solve
+from ft_mpc_tpu.solvers.riccati import (
+    LQRProblem,
+    lqr_factor,
+    lqr_factor_assoc,
+    lqr_resolve,
+    lqr_resolve_assoc,
+    lqr_solve,
+)
 
 
 class StagewiseMPCQP(NamedTuple):
@@ -72,7 +79,19 @@ class StagewiseConfig(NamedTuple):
     adapt_clip: float = 5.0
     sigma: float = 1e-6
     alpha: float = 1.6
-    mode: str = "scan"  # riccati backend: 'scan' (factored) | 'assoc'
+    # riccati backend: 'scan' (sequential factored resolve) | 'assoc'
+    # (refactor + associative-scan solve per iteration) | 'scan-assoc'
+    # (factored once per phase, associative-scan resolve -- the batched
+    # long-horizon default: O(log Nt) depth per ADMM iteration).
+    mode: str = "scan"
+    # Elastic terminal rows: identical l1 exact-penalty dual clamp as the
+    # condensed backend (`mpc_qp.StructuredADMMConfig.elastic_y_max`).
+    # Feasible QPs with ||y_term*||_inf below the clamp solve UNCHANGED
+    # (exact penalty theorem); genuinely infeasible restoration QPs
+    # converge to the minimum-violation point with the violation reported
+    # as `term_gap` instead of stalling r_prim at the infeasibility floor.
+    # 0 disables (hard rows).
+    elastic_y_max: float = 1e3
 
 
 class StagewiseSolution(NamedTuple):
@@ -83,6 +102,9 @@ class StagewiseSolution(NamedTuple):
     rho: jnp.ndarray  # adapted penalty, carry into the next solve's rho0
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
+    # max violation of dual-clamped elastic terminal rows (0 when the
+    # restoration step is feasible; the infeasibility gap otherwise)
+    term_gap: jnp.ndarray = 0.0  # plain float: no import-time backend init
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -103,14 +125,14 @@ def solve_mpc_qp_stagewise(
     eye_m = jnp.eye(m, dtype=dtype)
     zeros_x = jnp.zeros(n, dtype)
 
-    def x_update_factored(fact, dX, dU, zh, zt, yh, yt, rho):
+    def x_update_factored(fact, resolve, dX, dU, zh, zt, yh, yt, rho):
         vh = zh - yh / rho  # (Nt, F)
         vt = zt - yt / rho  # (Tm,)
         r_lin = 2.0 * qp.gu - cfg.sigma * dU - rho * (vh @ qp.hull_A)
         q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:]
         qN_lin = q_lin[-1] - rho * (qp.T.T @ vt)
         q_full = jnp.concatenate([zeros_x[None], q_lin[:-1]], axis=0)
-        return lqr_resolve(fact, q_full, r_lin, qN_lin, zeros_x)
+        return resolve(fact, q_full, r_lin, qN_lin, zeros_x)
 
     def x_update_assoc(rho, dX, dU, zh, zt, yh, yt):
         vh = zh - yh / rho
@@ -148,19 +170,21 @@ def solve_mpc_qp_stagewise(
 
     def run_phase(carry, _):
         dX, dU, zh, zt, yh, yt, rho = carry
-        if cfg.mode == "scan":
+        if cfg.mode in ("scan", "scan-assoc"):
             # one Riccati factorization for the whole phase (rho fixed)
             Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n
             R_stage = 2.0 * qp.Ru + cfg.sigma * eye_m + rho * AhTAh
             QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * TtT
-            fact = lqr_factor(qp.A, qp.B, qp.c, Q_stage, R_stage, QN)
-            x_update = partial(x_update_factored, fact)
+            factor = lqr_factor if cfg.mode == "scan" else lqr_factor_assoc
+            resolve = lqr_resolve if cfg.mode == "scan" else lqr_resolve_assoc
+            fact = factor(qp.A, qp.B, qp.c, Q_stage, R_stage, QN)
+            x_update = partial(x_update_factored, fact, resolve)
         else:
             x_update = partial(x_update_assoc, rho)
 
         def body(_, st):
             dX, dU, zh, zt, yh, yt = st
-            if cfg.mode == "scan":
+            if cfg.mode in ("scan", "scan-assoc"):
                 dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt, rho)
             else:
                 dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt)
@@ -170,9 +194,22 @@ def solve_mpc_qp_stagewise(
             zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
             zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
             zh_new = jnp.minimum(zh_hat + yh / rho, qp.h_hull)
-            zt_new = jnp.minimum(zt_hat + yt / rho, qp.h_term)
+            vt = zt_hat + yt / rho
+            if cfg.elastic_y_max > 0:
+                # exact hinge-penalty prox (see mpc_qp.body): consensus
+                # converges on infeasible rows, dual saturates at y_max
+                soft = vt > qp.h_term + cfg.elastic_y_max / rho
+                zt_new = jnp.where(
+                    soft,
+                    vt - cfg.elastic_y_max / rho,
+                    jnp.minimum(vt, qp.h_term),
+                )
+            else:
+                zt_new = jnp.minimum(vt, qp.h_term)
             yh_new = yh + rho * (zh_hat - zh_new)
             yt_new = yt + rho * (zt_hat - zt_new)
+            if cfg.elastic_y_max > 0:
+                yt_new = jnp.clip(yt_new, 0.0, cfg.elastic_y_max)
             return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
 
         dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
@@ -181,8 +218,18 @@ def solve_mpc_qp_stagewise(
 
         # scaled-residual rho adaptation (same rule as mpc_qp.run_phase)
         Gh, Gt = Gx(dX, dU)
+        # consensus residual is honest on elastic rows (exact hinge prox);
+        # the restoration gap is reported for dual-saturated rows
+        term_res = jnp.abs(Gt - zt)
+        if cfg.elastic_y_max > 0:
+            at_clamp = yt >= 0.999 * cfg.elastic_y_max
+            term_gap = jnp.max(
+                jnp.where(at_clamp, jnp.maximum(Gt - qp.h_term, 0.0), 0.0)
+            )
+        else:
+            term_gap = jnp.zeros((), dtype)
         r_prim = jnp.maximum(
-            jnp.max(jnp.abs(Gh - zh)), jnp.max(jnp.abs(Gt - zt))
+            jnp.max(jnp.abs(Gh - zh)), jnp.max(term_res)
         )
         r_dual = jnp.max(
             jnp.abs(2.0 * (dU @ qp.Ru) + 2.0 * qp.gu + yh @ qp.hull_A)
@@ -193,14 +240,17 @@ def solve_mpc_qp_stagewise(
         dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * dU @ qp.Ru)), 1e-6)
         ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
         factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
+        # freeze once converged: the ratio is noise there and a carried rho
+        # would random-walk (same rule as the condensed/lanes backends)
+        factor = jnp.where(r_prim <= 1e-4, 1.0, factor)
         rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
-        return (dX, dU, zh, zt, yh, yt, rho_new), (r_prim, r_dual)
+        return (dX, dU, zh, zt, yh, yt, rho_new), (r_prim, r_dual, term_gap)
 
-    (dX, dU, zh, zt, yh, yt, rho_out), (rps, rds) = jax.lax.scan(
+    (dX, dU, zh, zt, yh, yt, rho_out), (rps, rds, gaps) = jax.lax.scan(
         run_phase, (dX0, dU0, zh0, zt0, yh0, yt0, rho_init), None,
         length=cfg.phases,
     )
     return StagewiseSolution(
         dX=dX, dU=dU, y_hull=yh, y_term=yt, rho=rho_out,
-        r_prim=rps[-1], r_dual=rds[-1],
+        r_prim=rps[-1], r_dual=rds[-1], term_gap=gaps[-1],
     )

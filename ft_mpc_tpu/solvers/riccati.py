@@ -282,6 +282,91 @@ def lqr_resolve(fact: LQRFactorization, q, r, qN, x0) -> tuple[jnp.ndarray, jnp.
     return X, Us
 
 
+def lqr_resolve_assoc(
+    fact: LQRFactorization, q, r, qN, x0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`lqr_resolve` with both passes as associative scans (O(log Nt) depth).
+
+    Given the factorization, the backward pass is the *affine* recursion
+
+        p_t = F_t' p_{t+1} + g_t,   g_t = q_t + F_t' PC_t - K_t' r_t,
+
+    and the forward pass is x_{t+1} = F_t x_t + (c_t - B_t k_t) -- both are
+    compositions of affine maps, so each becomes one
+    `jax.lax.associative_scan` whose combine steps are large batched
+    matmuls over the whole horizon (MXU work) instead of 2*Nt sequential
+    matvec kernels.  This is what makes a *batched* long-horizon ADMM
+    iteration launch-overhead-free: per iteration the sequential depth is
+    O(log Nt), with every level a (B*Nt/2^k, n, n) matmul.
+
+    Exact same math as `lqr_resolve` (tests assert equality to fp tolerance).
+    """
+    mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
+
+    # ---- backward: suffix composition p_t = (M_t o ... o M_{Nt-1})(qN) ----
+    Ft_T = jnp.swapaxes(fact.F, -1, -2)
+    g = q + mv(Ft_T, fact.PC) - mv(jnp.swapaxes(fact.K, -1, -2), r)
+
+    def compose_bwd(later, earlier):
+        # associative_scan(reverse=True) passes the LATER-in-time block
+        # first (same convention as `lqr_backward_assoc`); the suffix
+        # composite applies the earlier map AFTER the later one.
+        A_l, b_l = later
+        A_e, b_e = earlier
+        return (A_e @ A_l, mv(A_e, b_l) + b_e)
+
+    As, bs = jax.lax.associative_scan(compose_bwd, (Ft_T, g), reverse=True, axis=0)
+    p = mv(As, qN) + bs  # p_t for t = 0..Nt-1
+    p_next = jnp.concatenate([p[1:], qN[None]], axis=0)  # p_{t+1}
+    ks = mv(fact.Quu_inv, r + mv(jnp.swapaxes(fact.B, -1, -2), fact.PC + p_next))
+
+    # ---- forward: prefix composition x_{t+1} = (M~_t o ... o M~_0)(x0) ----
+    d = fact.c - mv(fact.B, ks)
+
+    def compose_fwd(a, b):
+        # a = earlier, b = later; composite applies b AFTER a.
+        A_a, b_a = a
+        A_b, b_b = b
+        return (A_b @ A_a, mv(A_b, b_a) + b_b)
+
+    Fs, fs = jax.lax.associative_scan(compose_fwd, (fact.F, d), axis=0)
+    X_tail = mv(Fs, x0) + fs  # x_1..x_Nt
+    X = jnp.concatenate([x0[None], X_tail], axis=0)
+    U = -mv(fact.K, X[:-1]) - ks
+    return X, U
+
+
+def lqr_factor_assoc(A, B, c, Q, R, QN) -> LQRFactorization:
+    """`lqr_factor` with the value-Hessian pass parallel-in-horizon.
+
+    P_t comes from `lqr_backward_assoc` (associative scan over value
+    elements); the gains (K, Quu_inv) then depend only on P_{t+1} per
+    stage, so they are one batched solve over all stages at once.  Linear
+    terms are irrelevant to the quadratic factorization and passed as 0.
+    """
+    Nt, n, m = B.shape
+    Q = jnp.broadcast_to(Q, (Nt, n, n))
+    R = jnp.broadcast_to(R, (Nt, m, m))
+    zeros_q = jnp.zeros((Nt, n), A.dtype)
+    zeros_r = jnp.zeros((Nt, m), A.dtype)
+    prob = LQRProblem(
+        A=A, B=B, c=c, Q=Q, q=zeros_q, R=R, r=zeros_r,
+        QN=QN, qN=jnp.zeros(n, A.dtype), x0=jnp.zeros(n, A.dtype),
+    )
+    P_all, _ = lqr_backward_assoc(prob)
+    P_next = P_all[1:]
+    BtP = jnp.einsum("tnm,tnk->tmk", B, P_next)  # B_t' P_{t+1}
+    Quu = R + BtP @ B
+    Qux = BtP @ A
+    Quu_inv = jnp.linalg.inv(Quu)
+    K = Quu_inv @ Qux
+    F = A - B @ K
+    PC = jnp.einsum("tij,tj->ti", P_next, c)
+    return LQRFactorization(
+        A=A, B=B, c=c, P=P_all, K=K, Quu_inv=Quu_inv, F=F, PC=PC
+    )
+
+
 def lqr_solve(prob: LQRProblem, mode: str = "scan") -> LQRSolution:
     """Solve the LQR problem exactly.  mode: 'scan' | 'assoc'."""
     if mode == "scan":

@@ -618,7 +618,9 @@ def cache_key(fault_pattern, tuning: dict, plant: dict | None = None) -> str:
     """
     payload = json.dumps(
         {
-            "v": 2,  # cache format version (v2: + cross-term tables)
+            # cache format version (v2: + cross-term tables; v3: fault-aware
+            # orbit selection -- pre-v3 fallback entries must re-search)
+            "v": 3,
             "faults": sorted((int(f.index), float(f.intensity)) for f in fault_pattern),
             "tuning": {k: tuning[k] for k in sorted(tuning) if k != "sqp_iters"},
             "plant": plant or {},

@@ -112,3 +112,39 @@ def test_factor_resolve_matches_full_solve(seed):
                                       qN=scale * prob.qN), mode="scan")
         np.testing.assert_allclose(np.asarray(U), np.asarray(ref.U), atol=1e-9)
         np.testing.assert_allclose(np.asarray(X), np.asarray(ref.X), atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_resolve_assoc_matches_resolve(seed):
+    """Associative-scan resolve (O(log Nt) depth) == sequential resolve."""
+    from ft_mpc_tpu.solvers.riccati import lqr_factor, lqr_resolve, lqr_resolve_assoc
+
+    rng = np.random.default_rng(seed)
+    prob = random_lqr(rng, Nt=33)  # non-power-of-two horizon on purpose
+    fact = lqr_factor(prob.A, prob.B, prob.c, prob.Q, prob.R, prob.QN)
+    X_s, U_s = lqr_resolve(fact, prob.q, prob.r, prob.qN, prob.x0)
+    X_a, U_a = lqr_resolve_assoc(fact, prob.q, prob.r, prob.qN, prob.x0)
+    np.testing.assert_allclose(np.asarray(U_a), np.asarray(U_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(X_a), np.asarray(X_s), atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_factor_assoc_matches_factor(seed):
+    """Parallel-in-horizon factorization == sequential Riccati factorization
+    (and a resolve against it matches the sequential pipeline end-to-end)."""
+    from ft_mpc_tpu.solvers.riccati import (
+        lqr_factor,
+        lqr_factor_assoc,
+        lqr_resolve_assoc,
+    )
+
+    rng = np.random.default_rng(seed)
+    prob = random_lqr(rng, Nt=24)
+    f_s = lqr_factor(prob.A, prob.B, prob.c, prob.Q, prob.R, prob.QN)
+    f_a = lqr_factor_assoc(prob.A, prob.B, prob.c, prob.Q, prob.R, prob.QN)
+    np.testing.assert_allclose(np.asarray(f_a.P), np.asarray(f_s.P), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_a.K), np.asarray(f_s.K), atol=1e-7)
+    X, U = lqr_resolve_assoc(f_a, prob.q, prob.r, prob.qN, prob.x0)
+    ref = lqr_solve(prob, mode="scan")
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.U), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(ref.X), atol=1e-7)

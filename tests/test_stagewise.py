@@ -191,3 +191,188 @@ def test_stagewise_batched_api_matches_per_scenario():
         np.asarray(out_b.u_phys), np.asarray(out_1.u_phys), rtol=0, atol=1e-3
     )
     assert np.isfinite(np.asarray(out_b.info.r_prim)).all()
+
+
+def _synthetic_stagewise_qp(rng, Nt=10, n=4, m=2, F=3, Tm=2, infeasible=False):
+    """Small random stagewise QP; optionally with terminal rows no input
+    sequence can satisfy (restoration-infeasible)."""
+    from ft_mpc_tpu.solvers.mpc_qp_stagewise import StagewiseMPCQP
+
+    A = np.tile(np.eye(n) * 0.95, (Nt, 1, 1)) + rng.standard_normal((Nt, n, n)) * 0.02
+    B = rng.standard_normal((Nt, n, m)) * 0.3
+    c = rng.standard_normal((Nt, n)) * 0.01
+    Qx = np.eye(n) * 0.5
+    gx = rng.standard_normal((Nt + 1, n)) * 0.1
+    Ru = np.eye(m) * 0.2
+    gu = rng.standard_normal((Nt, m)) * 0.1
+    QxN = np.eye(n)
+    hull_A = rng.standard_normal((F, m))
+    h_hull = np.tile(np.abs(rng.standard_normal(F)) + 0.5, (Nt, 1))
+    T = np.zeros((Tm, n))
+    T[:, 0] = [1.0, -1.0]  # dx_N[0] <= h1 and -dx_N[0] <= h2
+    if infeasible:
+        h_term = np.array([-5.0, -5.0])  # dx_N[0] >= 5 AND <= -5: impossible
+    else:
+        h_term = np.array([10.0, 10.0])
+    return StagewiseMPCQP(
+        *map(jnp.asarray, (A, B, c, Qx, gx, Ru, gu, QxN, hull_A, h_hull, T, h_term))
+    )
+
+
+def test_stagewise_elastic_matches_hard_on_feasible():
+    """Exact-penalty property: on a feasible QP whose terminal duals stay
+    below the clamp, elastic and hard rows give the same solution and
+    term_gap == 0 (same semantics as the condensed backend's elastic)."""
+    from ft_mpc_tpu.solvers.mpc_qp_stagewise import (
+        StagewiseConfig,
+        solve_mpc_qp_stagewise,
+    )
+
+    rng = np.random.default_rng(3)
+    qp = _synthetic_stagewise_qp(rng, infeasible=False)
+    cfg_h = StagewiseConfig(iters=80, phases=2, rho=10.0, elastic_y_max=0.0)
+    cfg_e = StagewiseConfig(iters=80, phases=2, rho=10.0, elastic_y_max=1e3)
+    sol_h = solve_mpc_qp_stagewise(qp, cfg_h)
+    sol_e = solve_mpc_qp_stagewise(qp, cfg_e)
+    np.testing.assert_allclose(
+        np.asarray(sol_e.dU), np.asarray(sol_h.dU), atol=1e-9
+    )
+    assert float(sol_e.term_gap) == 0.0
+    assert float(sol_h.term_gap) == 0.0  # hard rows: gap defined as 0
+
+
+def test_stagewise_elastic_infeasible_converges_with_gap():
+    """Restoration-infeasible terminal rows: hard rows floor r_prim at the
+    infeasibility gap; elastic rows converge (small r_prim) and report the
+    violation honestly as term_gap (VERDICT r3 next-step 1)."""
+    from ft_mpc_tpu.solvers.mpc_qp_stagewise import (
+        StagewiseConfig,
+        solve_mpc_qp_stagewise,
+    )
+
+    rng = np.random.default_rng(5)
+    qp = _synthetic_stagewise_qp(rng, infeasible=True)
+    sol_h = solve_mpc_qp_stagewise(
+        qp, StagewiseConfig(iters=150, phases=3, rho=10.0, elastic_y_max=0.0)
+    )
+    sol_e = solve_mpc_qp_stagewise(
+        qp, StagewiseConfig(iters=150, phases=3, rho=10.0, elastic_y_max=1e2)
+    )
+    # the two contradictory rows are 5 apart: gap >= 5 split across rows
+    assert float(sol_h.r_prim) > 1.0  # hard: stuck at the infeasibility floor
+    assert float(sol_e.r_prim) < 1e-2  # elastic: converged
+    assert float(sol_e.term_gap) > 4.0  # honest minimum-violation report
+
+
+def test_stagewise_scan_assoc_matches_scan():
+    """mode='scan-assoc' (parallel-in-horizon factor + resolve) is the same
+    solver as mode='scan' to fp tolerance."""
+    from ft_mpc_tpu.solvers.mpc_qp_stagewise import (
+        StagewiseConfig,
+        solve_mpc_qp_stagewise,
+    )
+
+    rng = np.random.default_rng(7)
+    qp = _synthetic_stagewise_qp(rng, Nt=17)
+    cfg_s = StagewiseConfig(iters=50, phases=2, rho=10.0)
+    cfg_a = cfg_s._replace(mode="scan-assoc")
+    sol_s = solve_mpc_qp_stagewise(qp, cfg_s)
+    sol_a = solve_mpc_qp_stagewise(qp, cfg_a)
+    np.testing.assert_allclose(
+        np.asarray(sol_a.dU), np.asarray(sol_s.dU), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_a.dX), np.asarray(sol_s.dX), atol=1e-7
+    )
+    assert abs(float(sol_a.r_prim) - float(sol_s.r_prim)) < 1e-7
+
+
+def test_term_gap_finite_across_backends():
+    """SQPInfo.term_gap is never NaN on any backend (VERDICT r3 item 1
+    done-criterion): condensed, stagewise, and the batched lanes path."""
+    from ft_mpc_tpu.controllers.spiraling import (
+        get_control_batch,
+        init_warmstart_batch,
+    )
+
+    horizon = 10
+    params, sc, weights, x_ref, u_ref, x0 = setup(horizon)
+    for backend, stage_cfg in (
+        ("condensed", StagewiseConfig()),
+        ("stagewise", StagewiseConfig(iters=30, rho=50.0)),
+    ):
+        cfg = MPCConfig(
+            horizon=horizon, sqp_iters=1, qp_backend=backend,
+            stagewise=stage_cfg,
+        )
+        c0 = robot_to_center(sc.r, jnp.asarray(x0))
+        warm = init_warmstart(params, sc, cfg, c0)
+        _, info = sqp_solve(
+            params, sc, weights, cfg, c0, x_ref[: horizon + 1],
+            u_ref[: horizon + 1], warm,
+        )
+        assert np.isfinite(float(info.term_gap)), backend
+
+    # batched lanes path (the deployed backend)
+    cfg = MPCConfig(horizon=horizon, sqp_iters=1)
+    B = 2
+    bank = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)), sc
+    )
+    x0s = jnp.asarray(np.tile(x0, (B, 1)))
+    c0s = jax.vmap(robot_to_center)(bank.r, x0s)
+    warm = init_warmstart_batch(
+        params, bank, weights, cfg, c0s, x_ref[: horizon + 1],
+        u_ref[: horizon + 1],
+    )
+    out = get_control_batch(
+        params, bank, weights, cfg, x0s, x_ref[: horizon + 1],
+        u_ref[: horizon + 1], warm,
+    )
+    assert np.isfinite(np.asarray(out.info.term_gap)).all()
+
+
+def test_stagewise_batched_cleanup_improves_tail():
+    """The stagewise worst-K cleanup pass lowers the batch's worst QP
+    residual (long-horizon deployed-parity machinery, VERDICT r3 item 1)."""
+    from ft_mpc_tpu.controllers.spiraling import (
+        get_control_batch,
+        init_warmstart_batch,
+    )
+
+    horizon = 30
+    params, sc, weights, x_ref, u_ref, x0 = setup(horizon)
+    B = 4
+    bank = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)), sc
+    )
+    rng = np.random.default_rng(0)
+    x0s = np.tile(x0, (B, 1))
+    x0s[:, 0:3] += rng.uniform(-1.5, 1.5, (B, 3))
+    x0s[:, 3:6] += rng.uniform(-0.5, 0.5, (B, 3))
+    x0s = jnp.asarray(x0s)
+    # deliberately under-budgeted baseline (bad rho, few iterations) so the
+    # batch has a genuinely unconverged tail for the cleanup to fix
+    base = dict(
+        horizon=horizon, sqp_iters=1, qp_backend="stagewise",
+        stagewise=StagewiseConfig(iters=5, rho=2000.0, adapt_clip=1.5),
+    )
+    cfg0 = MPCConfig(**base)
+    cfg1 = MPCConfig(**base, cleanup_iters=120, cleanup_k=2, cleanup_phases=2)
+    c0s = jax.vmap(robot_to_center)(bank.r, x0s)
+    warm = init_warmstart_batch(
+        params, bank, weights, cfg0, c0s, x_ref[: horizon + 1],
+        u_ref[: horizon + 1],
+    )
+    out0 = get_control_batch(
+        params, bank, weights, cfg0, x0s, x_ref[: horizon + 1],
+        u_ref[: horizon + 1], warm,
+    )
+    out1 = get_control_batch(
+        params, bank, weights, cfg1, x0s, x_ref[: horizon + 1],
+        u_ref[: horizon + 1], warm,
+    )
+    top0 = np.sort(np.asarray(out0.info.r_prim))[-2:]
+    top1 = np.sort(np.asarray(out1.info.r_prim))[-2:]
+    assert top1.max() < top0.max()
+    assert np.isfinite(np.asarray(out1.u_phys)).all()
