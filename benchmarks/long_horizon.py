@@ -99,6 +99,7 @@ def run(horizon: int, backend: str, B: int, args):
     x0[:, 9] = 1.0
     x0 = jnp.asarray(x0)
 
+    print(f"[debug] backend={backend} qp_backend={cfg.qp_backend} Nt={horizon}", flush=True)
     c0 = jax.jit(jax.vmap(robot_to_center))(bank.r, x0)
     warm = jax.jit(
         lambda b, c: init_warmstart_batch(
@@ -138,7 +139,7 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--cleanup", type=int, default=300)
     ap.add_argument(
-        "--condensed-max-n", type=int, default=400,
+        "--condensed-max-n", type=int, default=120,
         help="skip the condensed backend when Nt*nu exceeds this (its dense "
         "(Nt*nu)^2 carried metric would dominate HBM at long horizons)",
     )

@@ -227,7 +227,14 @@ class SpiralingMPC:
         self._get_control = jax.jit(get_control, static_argnames=("cfg",))
 
     def set_fault(self, fault: BrokenThruster) -> None:
-        """Add a fault and recompile the scenario data (host, milliseconds)."""
+        """Add a fault and recompile the scenario data (host-side).
+
+        Milliseconds for cached fault patterns; first-time patterns whose
+        default orbit is uncertifiable additionally run the orbit search +
+        terminal pipeline (seconds, then cached on disk).  A deployment
+        that needs bounded fault-reaction latency should pre-build the
+        cache for its fault census (`benchmarks/build_terminal_cache.py`).
+        """
         self.faults.append(fault)
         self.scenario = _build_scenario_with_terminal(
             self.params, self.faults, self.tuning, terminal_mode=self.terminal_mode

@@ -175,7 +175,11 @@ def solve_mpc_qp_stagewise(
             Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n
             R_stage = 2.0 * qp.Ru + cfg.sigma * eye_m + rho * AhTAh
             QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * TtT
-            factor = lqr_factor if cfg.mode == "scan" else lqr_factor_assoc
+            # 'scan-assoc': factor SEQUENTIALLY (once per phase -- cheap,
+            # and lqr_factor_assoc's combine needs two batched 13x13
+            # inverses per scan level, the slow-XLA pattern), resolve with
+            # the associative scans (40x per phase, the hot path).
+            factor = lqr_factor
             resolve = lqr_resolve if cfg.mode == "scan" else lqr_resolve_assoc
             fact = factor(qp.A, qp.B, qp.c, Q_stage, R_stage, QN)
             x_update = partial(x_update_factored, fact, resolve)
