@@ -9,10 +9,11 @@ QP + lane-fused allocation, warm-started steady state) at Nt in
                       it is skipped where that exceeds --condensed-max-n).
   * stagewise      -- Riccati-in-ADMM, sequential factored resolve
                       (mode='scan') + worst-K cleanup.
-  * stagewise-assoc-- same solver with the parallel-in-horizon factor +
-                      associative-scan resolve (mode='scan-assoc'): per
-                      ADMM iteration the sequential depth is O(log Nt)
-                      batched matmuls instead of 2*Nt matvec kernels.
+  * stagewise-lanes-- same solver with the lane-fused Pallas LQR resolve
+                      (mode='lanes', solvers/lanes_riccati.py): every ADMM
+                      x-update is 2 kernel launches for the whole bank
+                      (batch in lanes, stages streamed through VMEM)
+                      instead of 2*Nt vmapped XLA dispatches.
 
 All backends run ELASTIC terminal rows + cleanup (identical semantics, so
 max_r_prim is apples-to-apples -- ADVICE r3 fix) with budgets sized to
@@ -68,7 +69,7 @@ def run(horizon: int, backend: str, B: int, args):
 
     weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
     qp_backend = "condensed" if backend == "condensed" else "stagewise"
-    mode = "scan-assoc" if backend == "stagewise-assoc" else "scan"
+    mode = "lanes" if backend == "stagewise-lanes" else "scan"
     cleanup_k = max(1, B // 8)
     cfg = MPCConfig(
         horizon=horizon,
@@ -149,7 +150,7 @@ def main():
     results = {}
     for nt in args.horizons:
         row = {}
-        backends = ["stagewise", "stagewise-assoc"]
+        backends = ["stagewise", "stagewise-lanes"]
         if nt * 6 <= args.condensed_max_n:
             backends.insert(0, "condensed")
         else:

@@ -367,6 +367,51 @@ def _assemble_condensed_batch(
     return qp, S_all, phi_all, defects
 
 
+def _assemble_stagewise(
+    params, scenario, weights, cfg, X, U, x_ref, u_ref,
+    hull_A, hull_b, term_A, term_b,
+):
+    """Linearize + stagewise (banded-KKT) QP assembly for one scenario.
+
+    Returns (StagewiseMPCQP, defects); vmapped unchanged by the batched
+    lanes path (`sqp_solve_batch_stagewise`).
+    """
+    Nt = cfg.horizon
+    dtype = X.dtype
+    u_unc = scenario.faulty_force_gen
+
+    A_stack, B_stack, defects = _linearize(params, scenario, cfg, X, U, u_ref)
+    u_r_bar = jnp.einsum(
+        "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
+    )
+    stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
+    h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
+    Q13 = jnp.zeros((N_X, N_X), dtype).at[:N_OPT, :N_OPT].set(weights.Q)
+    e_bar = X[:, :N_OPT] - x_ref  # (Nt+1, 9)
+    gx = jnp.zeros((Nt + 1, N_X), dtype)
+    gx = gx.at[:, :N_OPT].set(e_bar @ weights.Q)
+    # terminal: half-gradient / half-Hessian of the polynomial V_f
+    # (so that 2*gxN = dV/de; quadratic V_f gives P e + p/2 and P).
+    gx = gx.at[-1, :N_OPT].set(
+        0.5 * terminal_gradient(scenario.term, e_bar[-1])
+    )
+    QN13 = (
+        jnp.zeros((N_X, N_X), dtype)
+        .at[:N_OPT, :N_OPT]
+        .set(0.5 * terminal_hessian_psd(scenario.term, e_bar[-1]))
+    )
+    T13 = jnp.zeros((term_A.shape[0], N_X), dtype).at[:, :N_OPT].set(term_A)
+    h_term = term_b - term_A @ e_bar[-1]
+    h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
+
+    qp = StagewiseMPCQP(
+        A=A_stack, B=B_stack, c=defects, Qx=Q13, gx=gx, Ru=weights.R,
+        gu=U @ weights.R, QxN=QN13, hull_A=hull_A, h_hull=h_hull,
+        T=T13, h_term=h_term,
+    )
+    return qp, defects
+
+
 def _merit_alpha(
     params, scenario, weights, cfg, X, U, dX, dU, x_ref, u_ref,
     hull_A, hull_b, term_A, term_b,
@@ -446,46 +491,9 @@ def sqp_solve(
             rho_new = sol.rho
             du_raw = jnp.max(jnp.abs(sol.x))
         elif cfg.qp_backend == "stagewise":
-            A_stack, B_stack, defects = _linearize(
-                params, scenario, cfg, X, U, u_ref
-            )
-            u_r_bar = jnp.einsum(
-                "tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt]
-            )
-            stage_offset = U + u_r_bar + scenario.u_comp + u_unc  # (Nt, 6)
-            h_hull = hull_b[None, :] - stage_offset @ hull_A.T  # (Nt, F)
-            # --- banded KKT via Riccati-in-ADMM (no condensing) -----------
-            Q13 = jnp.zeros((N_X, N_X), dtype).at[:N_OPT, :N_OPT].set(weights.Q)
-            e_bar = X[:, :N_OPT] - x_ref  # (Nt+1, 9)
-            gx = jnp.zeros((Nt + 1, N_X), dtype)
-            gx = gx.at[:, :N_OPT].set(e_bar @ weights.Q)
-            # terminal: half-gradient / half-Hessian of the polynomial V_f
-            # (so that 2*gxN = dV/de; quadratic V_f gives P e + p/2 and P).
-            gx = gx.at[-1, :N_OPT].set(
-                0.5 * terminal_gradient(scenario.term, e_bar[-1])
-            )
-            QN13 = (
-                jnp.zeros((N_X, N_X), dtype)
-                .at[:N_OPT, :N_OPT]
-                .set(0.5 * terminal_hessian_psd(scenario.term, e_bar[-1]))
-            )
-            T13 = jnp.zeros((term_A.shape[0], N_X), dtype).at[:, :N_OPT].set(term_A)
-            h_term = term_b - term_A @ e_bar[-1]
-            h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
-
-            sqp_qp = StagewiseMPCQP(
-                A=A_stack,
-                B=B_stack,
-                c=defects,
-                Qx=Q13,
-                gx=gx,
-                Ru=weights.R,
-                gu=U @ weights.R,
-                QxN=QN13,
-                hull_A=hull_A,
-                h_hull=h_hull,
-                T=T13,
-                h_term=h_term,
+            sqp_qp, defects = _assemble_stagewise(
+                params, scenario, weights, cfg, X, U, x_ref, u_ref,
+                hull_A, hull_b, term_A, term_b,
             )
             ssol = solve_mpc_qp_stagewise(
                 sqp_qp, cfg.stagewise, y_hull0=yh, y_term0=yt, rho0=rho
@@ -701,6 +709,100 @@ def sqp_solve_batch(
     )
 
 
+def _sqp_batch_stagewise_core(
+    params, bank, weights, cfg, c0, x_ref, u_ref, warm
+) -> tuple[WarmStart, SQPInfo]:
+    """One batched stagewise SQP scan (no cleanup).
+
+    mode='lanes' (`cfg.stagewise.mode`): vmapped assembly + the batched
+    lane-fused Pallas LQR-resolve solver (`solve_mpc_qp_stagewise_lanes`)
+    -- every ADMM x-update is 2 kernel launches for the whole bank.
+    Other modes: vmap of the per-scenario `sqp_solve`.
+    """
+    if cfg.stagewise.mode != "lanes":
+        solve = jax.vmap(
+            lambda sc, c, w: sqp_solve(
+                params, sc, weights, cfg, c, x_ref, u_ref, w
+            )
+        )
+        return solve(bank, c0, warm)
+
+    from ft_mpc_tpu.solvers.mpc_qp_stagewise import solve_mpc_qp_stagewise_lanes
+
+    B = c0.shape[0]
+    # per-scenario reference: omega rows come from each scenario's orbit
+    x_ref_b = jnp.broadcast_to(x_ref, (B,) + x_ref.shape)
+    x_ref_b = x_ref_b.at[:, :, 6:9].set(
+        bank.omega_des[:, None, :].astype(x_ref.dtype)
+    )
+    hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
+    assemble = jax.vmap(
+        lambda sc, xr, X, U, hA, hb, tA, tb: _assemble_stagewise(
+            params, sc, weights, cfg, X, U, xr, u_ref, hA, hb, tA, tb
+        )
+    )
+    line_search = jax.vmap(
+        lambda sc, xr, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
+            params, sc, weights, cfg, X, U, dX, dU, xr, u_ref, hA, hb, tA, tb
+        )
+    )
+
+    def sqp_iteration(carry, _):
+        X, U, yh, yt, rho = carry
+        qp, defects = assemble(
+            bank, x_ref_b, X, U, hull_A, hull_b, term_A, term_b
+        )
+        ssol = solve_mpc_qp_stagewise_lanes(
+            qp, cfg.stagewise, y_hull0=yh, y_term0=yt, rho0=rho
+        )
+        dU = ssol.dU
+        dX = ssol.dX[:, 1:]
+        alpha = line_search(
+            bank, x_ref_b, X, U, dX, dU, hull_A, hull_b, term_A, term_b
+        )
+        a = alpha[:, None, None]
+        U_new = U + a * dU
+        X_new = jnp.concatenate([X[:, :1], X[:, 1:] + a * dX], axis=1)
+        du_raw = jnp.max(jnp.abs(dU), axis=(1, 2))
+        info = (
+            ssol.r_prim,
+            ssol.r_dual,
+            jnp.max(jnp.abs(defects), axis=(1, 2)),
+            alpha * du_raw,
+            ssol.term_gap,
+        )
+        return (X_new, U_new, ssol.y_hull, ssol.y_term, ssol.rho), info
+
+    X0 = warm.X.at[:, 0].set(c0)
+    rho0 = jnp.broadcast_to(warm.rho, (B,))
+    (X, U, y_hull, y_term, rho), infos = jax.lax.scan(
+        sqp_iteration, (X0, warm.U, warm.y_hull, warm.y_term, rho0), None,
+        length=cfg.sqp_iters,
+    )
+
+    e_run = X[:, :-1, :N_OPT] - x_ref_b[:, :-1]
+    cost = (
+        jnp.einsum("bti,ij,btj->b", e_run, weights.Q, e_run)
+        + jnp.einsum("bti,ij,btj->b", U, weights.R, U)
+    )
+    e_N = X[:, -1, :N_OPT] - x_ref_b[:, -1]
+    cost = cost + jax.vmap(terminal_value)(bank.term, e_N)
+
+    info = SQPInfo(
+        cost=cost,
+        r_prim=infos[0][-1],
+        r_dual=infos[1][-1],
+        defect=infos[2][-1],
+        du_norm=infos[3][-1],
+        term_gap=infos[4][-1],
+    )
+    return (
+        WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho,
+                  kinv=warm.kinv),
+        info,
+    )
+
+
 def sqp_solve_batch_stagewise(
     params: BodyParams,
     bank: Scenario,  # leading scenario-batch axis on every leaf
@@ -713,18 +815,18 @@ def sqp_solve_batch_stagewise(
 ) -> tuple[WarmStart, SQPInfo]:
     """Batched SQP on the stagewise (Riccati-in-ADMM) backend + tail cleanup.
 
-    vmap of `sqp_solve` with `qp_backend='stagewise'`, then -- the same
-    worst-K discipline as the lane-fused backend (`MPCConfig.cleanup_*`) --
-    the K scenarios with the worst QP primal residual get one extra SQP
-    iteration with a cleanup_iters x cleanup_phases ADMM budget.  This is
-    what brings the long-horizon backend to the deployed residual class
-    (<=1e-3) without paying a worst-case iteration count on all B
-    scenarios (VERDICT r3 next-step 1).
+    The batched core (`_sqp_batch_stagewise_core`: lane-fused Pallas LQR
+    resolve with mode='lanes', vmapped XLA otherwise), then -- the same
+    worst-K discipline as the lane-fused condensed backend
+    (`MPCConfig.cleanup_*`) -- the K scenarios with the worst QP primal
+    residual get one extra SQP iteration with a cleanup_iters x
+    cleanup_phases ADMM budget.  This is what brings the long-horizon
+    backend to the deployed residual class (<=1e-3) without paying a
+    worst-case iteration count on all B scenarios (VERDICT r3 next-step 1).
     """
-    solve = jax.vmap(
-        lambda sc, c, w: sqp_solve(params, sc, weights, cfg, c, x_ref, u_ref, w)
+    new_warm, info = _sqp_batch_stagewise_core(
+        params, bank, weights, cfg, c0, x_ref, u_ref, warm
     )
-    new_warm, info = solve(bank, c0, warm)
 
     if cfg.cleanup_iters > 0 and cfg.cleanup_k > 0:
         K = min(cfg.cleanup_k, c0.shape[0])
@@ -740,12 +842,9 @@ def sqp_solve_batch_stagewise(
         )
         bank_s = jax.tree.map(lambda a: a[idx], bank)
         warm_s = jax.tree.map(lambda a: a[idx], new_warm)
-        solve_c = jax.vmap(
-            lambda sc, c, w: sqp_solve(
-                params, sc, weights, ccfg, c, x_ref, u_ref, w
-            )
+        warm_c, info_c = _sqp_batch_stagewise_core(
+            params, bank_s, weights, ccfg, c0[idx], x_ref, u_ref, warm_s
         )
-        warm_c, info_c = solve_c(bank_s, c0[idx], warm_s)
         new_warm = jax.tree.map(lambda a, b: a.at[idx].set(b), new_warm, warm_c)
         info = jax.tree.map(lambda a, b: a.at[idx].set(b), info, info_c)
     return new_warm, info

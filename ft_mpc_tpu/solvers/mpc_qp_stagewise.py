@@ -258,3 +258,155 @@ def solve_mpc_qp_stagewise(
         dX=dX, dU=dU, y_hull=yh, y_term=yt, rho=rho_out,
         r_prim=rps[-1], r_dual=rds[-1], term_gap=gaps[-1],
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_mpc_qp_stagewise_lanes(
+    qp: StagewiseMPCQP,  # every leaf with a leading batch axis B
+    cfg: StagewiseConfig = StagewiseConfig(),
+    y_hull0: jnp.ndarray | None = None,
+    y_term0: jnp.ndarray | None = None,
+    rho0: jnp.ndarray | None = None,
+) -> StagewiseSolution:
+    """Batched stagewise solve on the lane-fused Pallas LQR resolve.
+
+    Semantics match vmap(solve_mpc_qp_stagewise) with mode='scan' (same
+    per-phase sequential factorization, same elastic hinge prox, same
+    rho rule), but every ADMM x-update runs as TWO Pallas kernel launches
+    (`solvers/lanes_riccati.py`) instead of 2*Nt vmapped XLA dispatches --
+    the launch-overhead fix that makes long horizons batch-deployable
+    (VERDICT r3 next-step 6).
+    """
+    from ft_mpc_tpu.solvers.lanes_riccati import lqr_resolve_lanes
+    from ft_mpc_tpu.solvers.riccati import lqr_factor
+
+    B, Nt, n, m = qp.B.shape
+    F = qp.hull_A.shape[-2]
+    dtype = qp.A.dtype
+
+    AhTAh = jnp.einsum("bfi,bfj->bij", qp.hull_A, qp.hull_A)
+    TtT = jnp.einsum("bti,btj->bij", qp.T, qp.T)
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+    zeros_x = jnp.zeros((B, n), dtype)
+
+    def Gx(dX, dU):
+        Gh = jnp.einsum("btm,bfm->btf", dU, qp.hull_A)
+        Gt = jnp.einsum("btn,bn->bt", qp.T, dX[:, -1])
+        return Gh, Gt
+
+    dX0 = jnp.zeros((B, Nt + 1, n), dtype)
+    dU0 = jnp.zeros((B, Nt, m), dtype)
+    yh0 = jnp.zeros((B, Nt, F), dtype) if y_hull0 is None else y_hull0
+    yt0 = jnp.zeros(qp.h_term.shape, dtype) if y_term0 is None else y_term0
+    zh0 = jnp.minimum(jnp.zeros((B, Nt, F), dtype), qp.h_hull)
+    zt0 = jnp.minimum(jnp.einsum("btn,bn->bt", qp.T, dX0[:, -1]), qp.h_term)
+    rho_init = (
+        jnp.full((B,), cfg.rho, dtype)
+        if rho0 is None
+        else jnp.clip(jnp.broadcast_to(rho0, (B,)), cfg.rho_min, cfg.rho_max
+                      ).astype(dtype)
+    )
+
+    def run_phase(carry, _):
+        dX, dU, zh, zt, yh, yt, rho = carry
+        # one batched Riccati factorization for the whole phase (rho fixed)
+        Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n[None]
+        R_stage = (
+            2.0 * qp.Ru + cfg.sigma * eye_m[None]
+            + rho[:, None, None] * AhTAh
+        )
+        QN = 2.0 * qp.QxN + cfg.sigma * eye_n[None] + rho[:, None, None] * TtT
+        fact = jax.vmap(lqr_factor)(qp.A, qp.B, qp.c, Q_stage, R_stage, QN)
+
+        def body(_, st):
+            dX, dU, zh, zt, yh, yt = st
+            vh = zh - yh / rho[:, None, None]
+            vt = zt - yt / rho[:, None]
+            r_lin = (
+                2.0 * qp.gu - cfg.sigma * dU
+                - rho[:, None, None] * jnp.einsum("btf,bfm->btm", vh, qp.hull_A)
+            )
+            q_lin = 2.0 * qp.gx[:, 1:] - cfg.sigma * dX[:, 1:]
+            qN_lin = q_lin[:, -1] - rho[:, None] * jnp.einsum(
+                "btn,bt->bn", qp.T, vt
+            )
+            q_full = jnp.concatenate(
+                [zeros_x[:, None], q_lin[:, :-1]], axis=1
+            )
+            dX_t, dU_t = lqr_resolve_lanes(fact, q_full, r_lin, qN_lin, zeros_x)
+            dX_new = cfg.alpha * dX_t + (1 - cfg.alpha) * dX
+            dU_new = cfg.alpha * dU_t + (1 - cfg.alpha) * dU
+            Gh_t, Gt_t = Gx(dX_t, dU_t)
+            zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
+            zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
+            zh_new = jnp.minimum(zh_hat + yh / rho[:, None, None], qp.h_hull)
+            vt_z = zt_hat + yt / rho[:, None]
+            if cfg.elastic_y_max > 0:
+                # exact hinge-penalty prox (see solve_mpc_qp_stagewise)
+                soft_shift = cfg.elastic_y_max / rho[:, None]
+                zt_new = jnp.where(
+                    vt_z > qp.h_term + soft_shift,
+                    vt_z - soft_shift,
+                    jnp.minimum(vt_z, qp.h_term),
+                )
+            else:
+                zt_new = jnp.minimum(vt_z, qp.h_term)
+            yh_new = yh + rho[:, None, None] * (zh_hat - zh_new)
+            yt_new = yt + rho[:, None] * (zt_hat - zt_new)
+            if cfg.elastic_y_max > 0:
+                yt_new = jnp.clip(yt_new, 0.0, cfg.elastic_y_max)
+            return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
+
+        dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
+            0, cfg.iters, body, (dX, dU, zh, zt, yh, yt)
+        )
+
+        Gh, Gt = Gx(dX, dU)
+        term_res = jnp.abs(Gt - zt)
+        if cfg.elastic_y_max > 0:
+            at_clamp = yt >= 0.999 * cfg.elastic_y_max
+            term_gap = jnp.max(
+                jnp.where(at_clamp, jnp.maximum(Gt - qp.h_term, 0.0), 0.0),
+                axis=1,
+            )
+        else:
+            term_gap = jnp.zeros((B,), dtype)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs(Gh - zh), axis=(1, 2)), jnp.max(term_res, axis=1)
+        )
+        r_dual = jnp.max(
+            jnp.abs(
+                2.0 * jnp.einsum("btm,bmk->btk", dU, qp.Ru) + 2.0 * qp.gu
+                + jnp.einsum("btf,bfm->btm", yh, qp.hull_A)
+            ),
+            axis=(1, 2),
+        )
+        prim_scale = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(Gh), axis=(1, 2)),
+                jnp.max(jnp.abs(zh), axis=(1, 2)),
+            ),
+            1e-6,
+        )
+        dual_scale = jnp.maximum(
+            jnp.max(
+                jnp.abs(2.0 * jnp.einsum("btm,bmk->btk", dU, qp.Ru)),
+                axis=(1, 2),
+            ),
+            1e-6,
+        )
+        ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
+        factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
+        factor = jnp.where(r_prim <= 1e-4, 1.0, factor)
+        rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
+        return (dX, dU, zh, zt, yh, yt, rho_new), (r_prim, r_dual, term_gap)
+
+    (dX, dU, zh, zt, yh, yt, rho_out), (rps, rds, gaps) = jax.lax.scan(
+        run_phase, (dX0, dU0, zh0, zt0, yh0, yt0, rho_init), None,
+        length=cfg.phases,
+    )
+    return StagewiseSolution(
+        dX=dX, dU=dU, y_hull=yh, y_term=yt, rho=rho_out,
+        r_prim=rps[-1], r_dual=rds[-1], term_gap=gaps[-1],
+    )

@@ -376,3 +376,74 @@ def test_stagewise_batched_cleanup_improves_tail():
     top1 = np.sort(np.asarray(out1.info.r_prim))[-2:]
     assert top1.max() < top0.max()
     assert np.isfinite(np.asarray(out1.u_phys)).all()
+
+
+def test_stagewise_lanes_solver_matches_vmapped_scan():
+    """`solve_mpc_qp_stagewise_lanes` (Pallas LQR resolve, interpret mode
+    on CPU) == vmap(solve_mpc_qp_stagewise) with mode='scan'."""
+    from ft_mpc_tpu.solvers.mpc_qp_stagewise import (
+        StagewiseConfig,
+        solve_mpc_qp_stagewise,
+        solve_mpc_qp_stagewise_lanes,
+    )
+
+    rng = np.random.default_rng(11)
+    qps = [_synthetic_stagewise_qp(rng, Nt=9, n=13, m=6, F=4, Tm=2)
+           for _ in range(3)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    cfg = StagewiseConfig(iters=40, phases=2, rho=10.0)
+    sol_l = solve_mpc_qp_stagewise_lanes(batch, cfg)
+    sol_s = jax.vmap(
+        lambda q: solve_mpc_qp_stagewise(q, cfg)
+    )(batch)
+    np.testing.assert_allclose(
+        np.asarray(sol_l.dU), np.asarray(sol_s.dU), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.r_prim), np.asarray(sol_s.r_prim), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.rho), np.asarray(sol_s.rho), rtol=1e-4
+    )
+
+
+def test_stagewise_lanes_controller_matches_scan():
+    """get_control_batch with stagewise mode='lanes' == mode='scan' (the
+    deployed long-horizon batched path vs the per-scenario reference)."""
+    from ft_mpc_tpu.controllers.spiraling import (
+        get_control_batch,
+        init_warmstart_batch,
+    )
+
+    horizon = 20
+    params, sc, weights, x_ref, u_ref, x0 = setup(horizon)
+    B = 3
+    bank = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)), sc
+    )
+    x0s = jnp.asarray(np.tile(x0, (B, 1)) + np.linspace(0, 0.01, B)[:, None])
+    outs = {}
+    for mode in ("scan", "lanes"):
+        cfg = MPCConfig(
+            horizon=horizon, sqp_iters=2, qp_backend="stagewise",
+            stagewise=StagewiseConfig(iters=30, rho=50.0, mode=mode),
+            cleanup_iters=50, cleanup_k=1, cleanup_phases=1,
+        )
+        c0s = jax.vmap(robot_to_center)(bank.r, x0s)
+        warm = init_warmstart_batch(
+            params, bank, weights, cfg, c0s, x_ref[: horizon + 1],
+            u_ref[: horizon + 1],
+        )
+        outs[mode] = get_control_batch(
+            params, bank, weights, cfg, x0s, x_ref[: horizon + 1],
+            u_ref[: horizon + 1], warm,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["lanes"].wrench), np.asarray(outs["scan"].wrench),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["lanes"].u_phys), np.asarray(outs["scan"].u_phys),
+        rtol=0, atol=1e-3,
+    )
+    assert np.isfinite(np.asarray(outs["lanes"].info.term_gap)).all()
