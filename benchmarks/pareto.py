@@ -25,17 +25,18 @@ REPO = Path(__file__).resolve().parent.parent
 CONFIGS = [
     (2, 40, 1, 3, 0, 0),       # round-2 deployed config (fast anchor)
     (2, 60, 1, 3, 0, 0),
-    (2, 120, 1, 3, 0, 0),
-    (2, 40, 1, 3, 300, 256),
     (2, 60, 1, 3, 300, 256),   # round-3 deployed config
-    (2, 60, 1, 3, 400, 384),
-    (2, 80, 1, 3, 400, 256),
+    (2, 60, 1, 3, 450, 256),
+    (2, 60, 1, 3, 600, 256),   # round-4 deployed config (bench.py default)
     (3, 80, 1, 3, 600, 256),   # accuracy-max corner
 ]
 
 
 def run_point(sqp, iters, phases, newton, cleanup, cleanup_k, batch=2048):
     env = dict(os.environ)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_tpu_cache")
+    )
     env.update(
         FT_MPC_BENCH_SQP=str(sqp),
         FT_MPC_BENCH_ITERS=str(iters),
@@ -44,6 +45,7 @@ def run_point(sqp, iters, phases, newton, cleanup, cleanup_k, batch=2048):
         FT_MPC_BENCH_CLEANUP=str(cleanup),
         FT_MPC_BENCH_CLEANUP_K=str(cleanup_k),
         FT_MPC_BENCH_BATCH=str(batch),
+        FT_MPC_BENCH_GAP_GATE="10",  # sweep measures residuals, not gates
     )
     res = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

@@ -67,9 +67,22 @@ def main():
         _build_scenario_with_terminal(params, f, DEFAULT_TUNING) for f in patterns
     ]
     bank = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *scs)
-    uncertified = [
-        i for i, s in enumerate(scs) if float(np.asarray(s.term_mask).sum()) == 0
-    ]
+    # patterns on the uncertified quadratic fallback (physically degenerate;
+    # identified from the terminal cache metadata, not the padded tensors)
+    from ft_mpc_tpu.terminal.pipeline import (
+        cache_key,
+        load_terminal_ingredients,
+        plant_fingerprint,
+    )
+
+    cdir = REPO / "ft_mpc_tpu" / "config" / "terminal_cache"
+    uncertified = []
+    for i, f in enumerate(patterns):
+        ti = load_terminal_ingredients(
+            cdir / f"{cache_key(f, DEFAULT_TUNING, plant_fingerprint(params))}.npz"
+        )
+        if "fallback" in ti.meta:
+            uncertified.append(i)
 
     x_ref, u_ref = prepare_center_trajectory(
         traj, np.asarray(scs[0].omega_des), 16.8, dt, 16
@@ -87,16 +100,33 @@ def main():
 
     sim = SimConfig(steps=50, noise_mode="zero_mean")
 
+    # 4 chained 50-step windows (200 steps / 20 s): every window re-runs
+    # the SAME compiled program with the previous window's final state, so
+    # the long horizon costs no extra compilation.  Fault-aware searched
+    # orbits (x- or y-axis spins) have longer spin-up transients than the
+    # default orbit; 50 steps is not enough for every geometry, 200 is.
     t0 = time.perf_counter()
-    hl = batched_rollout_lanes(
-        params, bank, weights, cfg, sim, jnp.asarray(x0), x_ref, u_ref,
-        jax.random.split(jax.random.key(0), B),
-    )
-    jax.block_until_ready(hl)
+    state = jnp.asarray(x0)
+    e0 = None
+    for w in range(4):
+        hl = batched_rollout_lanes(
+            params, bank, weights, cfg, sim, state, x_ref, u_ref,
+            jax.random.split(jax.random.key(w), B),
+        )
+        jax.block_until_ready(hl)
+        assert np.isfinite(np.asarray(hl.state)).all()
+        assert np.isfinite(np.asarray(hl.u_phys)).all()
+        if e0 is None:
+            e0 = np.linalg.norm(
+                np.asarray(hl.c0[:, 0, 0:3] - hl.x_ref0[:, 0, 0:3]), axis=1
+            )
+            e50 = None
+        if e50 is None:
+            e50 = np.linalg.norm(
+                np.asarray(hl.c0[:, -1, 0:3] - hl.x_ref0[:, -1, 0:3]), axis=1
+            )
+        state = jnp.asarray(np.asarray(hl.state[:, -1]))
     t_lanes = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(hl.state)).all()
-    assert np.isfinite(np.asarray(hl.u_phys)).all()
-    e0 = np.linalg.norm(np.asarray(hl.c0[:, 0, 0:3] - hl.x_ref0[:, 0, 0:3]), axis=1)
     eT = np.linalg.norm(np.asarray(hl.c0[:, -1, 0:3] - hl.x_ref0[:, -1, 0:3]), axis=1)
     gap_T = np.asarray(hl.term_gap)[:, -5:].max(axis=1)
 
@@ -111,11 +141,12 @@ def main():
     jax.block_until_ready(h)
     assert np.isfinite(np.asarray(h.state)).all()
 
+    contraction_50 = e50 / np.maximum(e0, 1e-9)
     contraction = eT / np.maximum(e0, 1e-9)
     contracting = contraction < 0.5
     not_contracting = [
         {"pattern": [f.index for f in patterns[i]],
-         "ratio": round(float(contraction[i]), 3),
+         "ratio_200": round(float(contraction[i]), 3),
          "uncertified_terminal": i in uncertified}
         for i in np.where(~contracting)[0]
     ]
@@ -126,22 +157,30 @@ def main():
         "sanitizer": "jax_debug_nans=True, no NaN raised",
         "batch": B,
         "geometries": "healthy + 16 singles + 120 doubles",
-        "steps": sim.steps,
+        "steps": 4 * sim.steps,
         "config": "sqp=2 admm=60x1 cleanup=300x2@K16 fp32",
         "all_finite": True,
-        "n_contracting": int(contracting.sum()),
-        "contraction_min_med_max": [
+        "n_contracting_200_steps": int(contracting.sum()),
+        "n_contracting_50_steps": int((contraction_50 < 0.5).sum()),
+        "contraction_200_min_med_max": [
             round(float(np.min(contraction)), 4),
             round(float(np.median(contraction)), 4),
             round(float(np.max(contraction)), 4),
         ],
         "not_contracting": not_contracting,
-        "n_uncertified_terminal": len(uncertified),
+        "uncertified_patterns": [
+            [f.index for f in patterns[i]] for i in uncertified
+        ],
         "max_term_gap_final": round(float(gap_T.max()), 6),
         "lanes_rollout_s": round(t_lanes, 2),
     }
     (REPO / "SANITIZER_r04.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
+    # Strict closed-loop gates (bench.py's open-loop gap gate defers here):
+    # every scenario's restoration gap vanishes in closed loop, and every
+    # scenario contracts.
+    assert float(gap_T.max()) <= 1e-3, "closed-loop restoration gap remains"
+    assert contracting.all(), result["not_contracting"]
 
 
 if __name__ == "__main__":

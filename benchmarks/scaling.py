@@ -154,7 +154,7 @@ def main():
     ap.add_argument("--per-device", type=int, default=256)
     ap.add_argument(
         "--batches", type=int, nargs="+",
-        default=[128, 256, 512, 1024, 2048, 4096],
+        default=[256, 512, 1024, 2048, 4096],
     )
     ap.add_argument("--skip-batch-sweep", action="store_true")
     ap.add_argument("--out", default=None)
