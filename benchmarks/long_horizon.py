@@ -100,7 +100,6 @@ def run(horizon: int, backend: str, B: int, args):
     x0[:, 9] = 1.0
     x0 = jnp.asarray(x0)
 
-    print(f"[debug] backend={backend} qp_backend={cfg.qp_backend} Nt={horizon}", flush=True)
     c0 = jax.jit(jax.vmap(robot_to_center))(bank.r, x0)
     warm = jax.jit(
         lambda b, c: init_warmstart_batch(

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from ft_mpc_tpu.solvers.riccati import (
     LQRProblem,
     lqr_factor,
-    lqr_factor_assoc,
     lqr_resolve,
     lqr_resolve_assoc,
     lqr_solve,

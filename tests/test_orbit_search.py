@@ -180,3 +180,54 @@ def test_M_matches_center_dynamics_jacobian(omega_des, r_dir):
     Jac = jax.jacfwd(f)(jnp.zeros(6))  # (13, 6)
     M_dyn = np.vstack([np.asarray(Jac)[3:6], np.asarray(Jac)[6:9]])
     np.testing.assert_allclose(M_dyn, sp.M, atol=1e-5)
+
+
+def test_shared_reference_window_correct_for_searched_orbits(tmp_path):
+    """The controller sources the reference's omega rows from the scenario
+    (reference semantics: `assign_trajectory` overwrites them with
+    omega_des), so a SHARED x_ref window prepared at the default orbit
+    must give exactly the same control as one prepared at the scenario's
+    own searched orbit -- this is what lets one bank mix orbits."""
+    import jax
+    import jax.numpy as jnp
+
+    from ft_mpc_tpu.api import DEFAULT_TUNING, _build_scenario_with_terminal
+    from ft_mpc_tpu.controllers.spiraling import (
+        MPCConfig,
+        MPCWeights,
+        get_control,
+        init_warmstart,
+    )
+    from ft_mpc_tpu.ops.dynamics import robot_to_center
+    from ft_mpc_tpu.utils.trajectory import (
+        generate_trajectory,
+        prepare_center_trajectory,
+    )
+
+    sc = _build_scenario_with_terminal(
+        PARAMS, [BrokenThruster(8, 1.0), BrokenThruster(9, 1.0)],
+        DEFAULT_TUNING, cache_dir=str(tmp_path),
+    )
+    assert not np.allclose(np.asarray(sc.omega_des), [0, 0, 0.6])
+    weights = MPCWeights.from_diagonals(DEFAULT_TUNING["Q"], DEFAULT_TUNING["R"])
+    cfg = MPCConfig(horizon=10, sqp_iters=2)
+    traj = generate_trajectory("hover", 0.1, 5)
+    outs = []
+    for omega in (np.array([0.0, 0.0, 0.6]), np.asarray(sc.omega_des)):
+        x_ref, u_ref = prepare_center_trajectory(traj, omega, MASS, 0.1, 11)
+        x0 = jnp.zeros(13).at[9].set(1.0).at[0].set(0.3)
+        warm = init_warmstart(
+            PARAMS, sc, cfg, robot_to_center(sc.r, x0)
+        )
+        outs.append(
+            get_control(
+                PARAMS, sc, weights, cfg, x0,
+                jnp.asarray(x_ref[:11]), jnp.asarray(u_ref[:11]), warm,
+            )
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].u_phys), np.asarray(outs[1].u_phys)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].wrench), np.asarray(outs[1].wrench)
+    )
