@@ -16,6 +16,14 @@ import time
 
 import numpy as np
 
+# Persistent compile cache: tunnel compiles take minutes per program and
+# are not reused across processes otherwise; with the cache a rerun of
+# this benchmark is ~70 s end to end.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache"),
+)
+
 
 def main(B: int | None = None):
     import jax
