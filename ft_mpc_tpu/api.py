@@ -129,29 +129,37 @@ def _build_scenario_with_terminal(
                 "f_virt_mag": choice.f_virt_mag,
                 "is_default": choice.is_default,
             }
+            ti = None
             if choice.certifiable:
                 sp_c = SpiralParameters.compute(
                     float(params.mass), np.asarray(params.inertia), D @ ff,
                     choice.omega_des, choice.r_dir, choice.f_virt_mag,
                 )
-                ti = compute_terminal_ingredients(
-                    hull=hull,
-                    M=sp_c.M,
-                    f_virt6=np.concatenate([sp_c.f_virt, np.zeros(3)]),
-                    omega_des=sp_c.omega_des,
-                    r=sp_c.r,
-                    mass=float(params.mass),
-                    inertia=np.asarray(params.inertia),
-                    dt=float(params.dt),
-                    Q=np.asarray(tuning["Q"], dtype=np.float64),
-                    R=np.asarray(tuning["R"], dtype=np.float64),
-                    k_omega=k_omega,
-                    max_acceleration=max_acc,
-                    time_scaling=float(tuning.get("time_scaling", 5)),
-                    empc_horizon=int(tuning.get("empc_horizon", 3)),
-                )
-                ti.meta["orbit"] = orbit_meta
-            else:
+                try:
+                    ti = compute_terminal_ingredients(
+                        hull=hull,
+                        M=sp_c.M,
+                        f_virt6=np.concatenate([sp_c.f_virt, np.zeros(3)]),
+                        omega_des=sp_c.omega_des,
+                        r=sp_c.r,
+                        mass=float(params.mass),
+                        inertia=np.asarray(params.inertia),
+                        dt=float(params.dt),
+                        Q=np.asarray(tuning["Q"], dtype=np.float64),
+                        R=np.asarray(tuning["R"], dtype=np.float64),
+                        k_omega=k_omega,
+                        max_acceleration=max_acc,
+                        time_scaling=float(tuning.get("time_scaling", 5)),
+                        empc_horizon=int(tuning.get("empc_horizon", 3)),
+                    )
+                    ti.meta["orbit"] = orbit_meta
+                except RuntimeError:
+                    # select_orbit's screen and the full pipeline can still
+                    # disagree on edge-of-feasibility patterns; never crash a
+                    # scenario build over it -- fall back to the quadratic
+                    # terminal exactly like an uncertifiable pattern.
+                    ti = None
+            if ti is None:
                 # Pattern physically uncertifiable at ANY candidate orbit
                 # (degenerate attainable set, e.g. antiparallel surviving
                 # thruster columns).  The reference's terminal NLP

@@ -112,15 +112,33 @@ def _full_dimensional(hull: Polytope) -> bool:
 
 
 def candidate_orbits(faulty_force_gen: np.ndarray):
-    """The (omega_des, r_dir, f_virt_mag) grid searched for faulted patterns."""
+    """The (omega_des, r_dir, f_virt_mag) grid searched for faulted patterns.
+
+    Every emitted omega_des is EXACTLY perpendicular to its r_dir: the
+    centripetal construction f_virt = m|w|^2 r cancels w x (w x r) only
+    when w . r = 0; a non-perpendicular pair leaves a constant unmodeled
+    center acceleration (w.r)w that no certificate term covers.  Candidate
+    spin axes are therefore the coordinate axes PROJECTED onto the plane
+    perpendicular to r_dir and renormalized (deduplicated; axes nearly
+    parallel to r_dir rejected).
+    """
     eyes = np.eye(3)
     r_dirs = [s * eyes[i] for i in range(3) for s in (1.0, -1.0)]
     f_lin = np.asarray(faulty_force_gen)[:3]
     if np.linalg.norm(f_lin) > 1e-9:
         r_dirs.append(f_lin / np.linalg.norm(f_lin))
     for rd in r_dirs:
-        perp = [e for e in eyes if abs(float(e @ rd)) < 0.9][:2]
-        for ax in perp:
+        perp = []
+        for e in eyes:
+            w = e - float(e @ rd) * rd  # project onto plane perpendicular to rd
+            n = float(np.linalg.norm(w))
+            if n < 0.35:  # e nearly parallel to rd: unstable direction, skip
+                continue
+            w = w / n
+            if any(abs(float(w @ p)) > 1.0 - 1e-9 for p in perp):
+                continue  # duplicate axis (two coord axes project identically)
+            perp.append(w)
+        for ax in perp[:2]:
             for mag in _OMEGA_MAGS:
                 for fmag in _F_VIRT_MAGS:
                     yield tuple(mag * ax), tuple(rd), fmag
@@ -165,35 +183,39 @@ def select_orbit(
             r_empc=0.0, objective=-np.inf,
         )
 
-    best = None
+    passing = []
     for omega_des, r_dir, fmag in candidate_orbits(faulty_force_gen):
         res = _score(
             hull, mass, inertia, faulty_force_gen, k_omega,
             omega_des, r_dir, fmag, max_acceleration,
             emax_grid=_COARSE_EMAX,
         )
-        if res is not None and (best is None or res[0] > best[0][0]):
-            best = (res, omega_des, r_dir, fmag)
+        if res is not None:
+            passing.append((res[0], omega_des, r_dir, fmag))
 
-    if best is None:
+    # Re-score coarse winners on the full emax grid, best-first, and return
+    # the first that certifies there too.  The coarse 15-point screen can
+    # disagree with the full grid; a candidate that only passes coarse must
+    # NOT be reported certifiable with stale coarse numbers (the full-grid
+    # `input_bound_box` inside compute_terminal_ingredients would raise).
+    for _, omega_des, r_dir, fmag in sorted(passing, key=lambda t: -t[0]):
+        refined = _score(
+            hull, mass, inertia, faulty_force_gen, k_omega,
+            omega_des, r_dir, fmag, max_acceleration,
+        )
+        if refined is None:
+            continue
+        obj, r_empc = refined
         return OrbitChoice(
-            omega_des=DEFAULT_OMEGA, r_dir=DEFAULT_R_DIR,
-            f_virt_mag=DEFAULT_F_VIRT, certifiable=False, is_default=True,
-            r_empc=0.0, objective=-np.inf,
+            omega_des=tuple(float(v) for v in omega_des),
+            r_dir=tuple(float(v) for v in r_dir),
+            f_virt_mag=float(fmag),
+            certifiable=True, is_default=False,
+            r_empc=r_empc, objective=obj,
         )
 
-    _, omega_des, r_dir, fmag = best
-    # re-score the winner on the full emax grid (the coarse screen can be
-    # slightly pessimistic about the objective, never about feasibility)
-    refined = _score(
-        hull, mass, inertia, faulty_force_gen, k_omega,
-        omega_des, r_dir, fmag, max_acceleration,
-    )
-    obj, r_empc = refined if refined is not None else best[0]
     return OrbitChoice(
-        omega_des=tuple(float(v) for v in omega_des),
-        r_dir=tuple(float(v) for v in r_dir),
-        f_virt_mag=float(fmag),
-        certifiable=True, is_default=False,
-        r_empc=r_empc, objective=obj,
+        omega_des=DEFAULT_OMEGA, r_dir=DEFAULT_R_DIR,
+        f_virt_mag=DEFAULT_F_VIRT, certifiable=False, is_default=True,
+        r_empc=0.0, objective=-np.inf,
     )

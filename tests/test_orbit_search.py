@@ -152,6 +152,33 @@ def test_previously_infeasible_pattern_restores_closed_loop(tmp_path):
 
 
 @pytest.mark.parametrize(
+    "fault_dir",
+    [
+        np.array([0.0, -1.0, 0.0, 0.0, 0.0, 0.0]),       # axis-aligned fault
+        np.array([0.7, -0.7, 0.0, 0.0, 0.0, 0.0]),       # diagonal fault
+        np.array([0.3, -0.5, 0.81, 0.0, 0.0, 0.0]),      # generic 3-d fault
+        np.zeros(6),                                      # healthy
+    ],
+)
+def test_candidates_exactly_perpendicular(fault_dir):
+    """Every candidate (omega_des, r_dir) pair must satisfy omega . r = 0:
+    the certificate's centripetal cancellation f_virt = m|w|^2 r assumes
+    it, and a violation leaves an unmodeled constant acceleration (w.r)w
+    that no certificate term budgets for (ADVICE r4 high)."""
+    from ft_mpc_tpu.controllers.orbit_search import candidate_orbits
+
+    n = 0
+    for omega_des, r_dir, fmag in candidate_orbits(fault_dir):
+        w = np.asarray(omega_des)
+        rd = np.asarray(r_dir)
+        assert abs(float(w @ rd)) < 1e-12 * max(1.0, np.linalg.norm(w))
+        assert abs(np.linalg.norm(rd) - 1.0) < 1e-12
+        assert np.linalg.norm(w) > 0.1  # projected axes stay renormalized
+        n += 1
+    assert n >= 48  # grid did not collapse
+
+
+@pytest.mark.parametrize(
     "omega_des,r_dir",
     [
         ((0.0, 0.0, 0.6), (0.0, 1.0, 0.0)),   # reference default
