@@ -222,7 +222,9 @@ class SpiralingMPC:
             params, self.faults, self.tuning, terminal_mode=terminal_mode
         )
         self.weights = MPCWeights.from_diagonals(
-            self.tuning["Q"], self.tuning["R"]
+            self.tuning["Q"], self.tuning["R"],
+            x_lb=self.tuning.get("xlb"), x_ub=self.tuning.get("xub"),
+            du_max=self.tuning.get("du_max"),
         )
         self.cfg = MPCConfig(
             horizon=int(self.tuning["horizon"]),
@@ -289,7 +291,9 @@ class SpiralingMPC:
 
         c0 = robot_to_center(self.scenario.r, x0)
         if self._warm is None:
-            self._warm = init_warmstart(self.params, self.scenario, self.cfg, c0)
+            self._warm = init_warmstart(
+                self.params, self.scenario, self.cfg, c0, weights=self.weights
+            )
         else:
             self._warm = shift_warmstart(self._warm, c0)
 

@@ -76,7 +76,13 @@ def _build_funcs(params, scenario, weights, Nt, c0, x_ref, u_ref):
         return J + terminal_value(scenario.term, X[-1, :N_OPT] - x_ref[-1])
 
     def constraints(U_flat):
-        """Stacked inequality slacks, >= 0 feasible (SLSQP convention)."""
+        """Stacked inequality slacks, >= 0 feasible (SLSQP convention).
+
+        Includes the optional stage state box (stages 1..Nt-1, parity with
+        `spiraling_mpc.py:180-185`) and wrench rate rows when the weights
+        carry x_lb/x_ub/du_max -- the same rows the deployed SQP builds, so
+        constrained solutions are comparable to 1e-4.
+        """
         U = U_flat.reshape(Nt, N_U)
         X = roll(U_flat)
         u_r = jnp.einsum("tij,tj->ti", rot_full_inv(X[:-1, 9:13]), u_ref[:Nt])
@@ -84,7 +90,20 @@ def _build_funcs(params, scenario, weights, Nt, c0, x_ref, u_ref):
         slack_hull = hull_b[None, :] - w_tot @ hull_A.T  # (Nt, F)
         e_N = X[-1, :N_OPT] - x_ref[-1]
         slack_term = term_b - term_A @ e_N
-        return jnp.concatenate([slack_hull.reshape(-1), slack_term])
+        slacks = [slack_hull.reshape(-1), slack_term]
+        if getattr(weights, "x_lb", None) is not None or \
+                getattr(weights, "x_ub", None) is not None:
+            xs = X[1:-1]
+            if weights.x_ub is not None:
+                slacks.append((jnp.asarray(weights.x_ub)[None] - xs).reshape(-1))
+            if weights.x_lb is not None:
+                slacks.append((xs - jnp.asarray(weights.x_lb)[None]).reshape(-1))
+        if getattr(weights, "du_max", None) is not None:
+            dw = w_tot[1:] - w_tot[:-1]
+            dmax = jnp.asarray(weights.du_max)[None]
+            slacks.append((dmax - dw).reshape(-1))
+            slacks.append((dmax + dw).reshape(-1))
+        return jnp.concatenate(slacks)
 
     return roll, objective, constraints
 

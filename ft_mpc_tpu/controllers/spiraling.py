@@ -96,6 +96,23 @@ class MPCConfig(NamedTuple):
     cleanup_iters: int = 0
     cleanup_k: int = 256
     cleanup_phases: int = 2
+    # Number of worst-K cleanup passes.  Each round re-ranks by
+    # r_prim + du_norm + defect and gives the current worst K one more
+    # exact-metric SQP iteration, so transient scenarios can receive
+    # several extra iterations while converged rows drop out of the
+    # ranking (VERDICT r4 item 1).
+    cleanup_rounds: int = 1
+    # Convergence-gated refinement (transient accuracy, VERDICT r4 item 1).
+    # After the fixed sqp_iters scan, up to refine_iters FURTHER SQP
+    # iterations run, each skipped (lax.cond -- no compute when taken
+    # branch is the skip) once max(r_prim, du_norm) <= refine_tol.  Steady-
+    # state warm-started solves converge within the base budget and pay
+    # nothing; transient solves (fault switch, aggressive initial states)
+    # iterate until the SQP step is below tolerance instead of stopping
+    # under-converged -- the source of the r4 transient deviation
+    # (1.3-2.7 N vs the float64 golden).  0 disables.
+    refine_iters: int = 0
+    refine_tol: float = 1e-3
     # Terminal-set feasibility restoration: when the linearization point
     # violates a terminal row (h_term < 0, i.e. outside the certified
     # region of attraction), the QP row is relaxed to require the violation
@@ -108,15 +125,109 @@ class MPCConfig(NamedTuple):
 
 
 class MPCWeights(NamedTuple):
-    """Cost data (traced; lives on device)."""
+    """Cost data + optional stage constraint bounds (traced; lives on device).
+
+    x_lb/x_ub are the reference's optional per-stage state box
+    (`ft_mpc/controllers/spiraling_mpc.py:180-185`: rows xlb <= x_t <= xub
+    on the full 13-d state for every non-terminal stage; the reference's
+    t = 0 row is vacuous because x_0 is pinned to the measurement, so here
+    the box is enforced at stages 1..Nt-1).  Entries at +/-1e8 (or beyond)
+    are treated as unbounded.  du_max is a per-step rate bound on the total
+    commanded wrench, |w_t - w_{t-1}| <= du_max for t = 1..Nt-1
+    (beyond-reference: the reference NLP has no rate rows; BASELINE
+    config 4).  Presence of these fields is static (part of the jit key
+    via the pytree structure): when None, zero extra rows are built and
+    the QP is bit-identical to the unconstrained problem.
+    """
 
     Q: jnp.ndarray  # (9, 9)
     R: jnp.ndarray  # (6, 6)
+    x_lb: jnp.ndarray | None = None  # (13,) stage state lower bounds
+    x_ub: jnp.ndarray | None = None  # (13,) stage state upper bounds
+    du_max: jnp.ndarray | None = None  # (6,) wrench rate bound per step
 
     @classmethod
-    def from_diagonals(cls, q, r) -> "MPCWeights":
-        return cls(Q=jnp.diag(jnp.asarray(q, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)),
-                   R=jnp.diag(jnp.asarray(r, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)))
+    def from_diagonals(cls, q, r, x_lb=None, x_ub=None, du_max=None) -> "MPCWeights":
+        f = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        opt = lambda v: None if v is None else jnp.asarray(v, f)
+        return cls(Q=jnp.diag(jnp.asarray(q, f)), R=jnp.diag(jnp.asarray(r, f)),
+                   x_lb=opt(x_lb), x_ub=opt(x_ub), du_max=opt(du_max))
+
+    @property
+    def has_state_box(self) -> bool:
+        return self.x_lb is not None or self.x_ub is not None
+
+
+def n_extra_rows(weights: MPCWeights, horizon: int) -> int:
+    """Static count of extra dense rows (state box + rate) in the term block."""
+    E = 0
+    if weights.has_state_box:
+        E += 2 * N_X * (horizon - 1)
+    if weights.du_max is not None:
+        E += 2 * N_U * (horizon - 1)
+    return E
+
+
+def _box_bounds(weights: MPCWeights, dtype):
+    xub = (jnp.full((N_X,), _BIG, dtype) if weights.x_ub is None
+           else jnp.asarray(weights.x_ub, dtype))
+    xlb = (jnp.full((N_X,), -_BIG, dtype) if weights.x_lb is None
+           else jnp.asarray(weights.x_lb, dtype))
+    return xlb, xub
+
+
+def params_batch_axes(params: BodyParams) -> BodyParams:
+    """vmap in_axes spec for a possibly scenario-batched `BodyParams`.
+
+    Per-scenario plant variation (BASELINE config 5: inertia/mass randomized
+    from `data/InertialProperties.md`; reference constants at
+    `ft_mpc/models/sys_model.py:51-60`) is expressed by giving mass/inertia/
+    inertia_inv (and optionally dt) a leading scenario axis while D and
+    max_thrust stay shared (thruster geometry does not vary).  Each leaf
+    whose ndim exceeds its canonical rank maps over axis 0; the rest are
+    broadcast.  An unbatched BodyParams yields all-None (classic shared
+    plant) so every existing call is unchanged.
+    """
+    base = BodyParams(mass=0, inertia=2, inertia_inv=2, max_thrust=0, D=2, dt=0)
+    return BodyParams(
+        *[0 if jnp.ndim(leaf) > nd else None for leaf, nd in zip(params, base)]
+    )
+
+
+def _params_row(params: BodyParams, p_ax: BodyParams, idx) -> BodyParams:
+    """Gather rows idx from the batched leaves of params (shared leaves pass)."""
+    return BodyParams(
+        *[leaf[idx] if ax == 0 else leaf for leaf, ax in zip(params, p_ax)]
+    )
+
+
+def _ext_rows(weights: MPCWeights, X, S_all, phi_all, stage_offset):
+    """Extra dense inequality rows over the condensed decision vector.
+
+    State box (stages 1..Nt-1, `spiraling_mpc.py:180-185` parity):
+        +/- S_t dU <= +/-(x_bound - X_t - phi_t)
+    Rate rows (stages 1..Nt-1): w_t = dU_t + stage_offset_t, so
+        +/-(dU_t - dU_{t-1}) <= du_max -/+ (stage_offset_t - stage_offset_{t-1}).
+    Returns (G, h) with E = n_extra_rows(...) rows; caller guarantees E > 0.
+    """
+    dtype = X.dtype
+    Nt = S_all.shape[0]
+    n_dec = S_all.shape[-1]
+    rows_G, rows_h = [], []
+    if weights.has_state_box:
+        xlb, xub = _box_bounds(weights, dtype)
+        S_box = S_all[:-1].reshape((Nt - 1) * N_X, n_dec)
+        x_nom = X[1:-1] + phi_all[:-1]  # predicted stage states at dU = 0
+        rows_G += [S_box, -S_box]
+        rows_h += [(xub[None] - x_nom).reshape(-1), (x_nom - xlb[None]).reshape(-1)]
+    if weights.du_max is not None:
+        eyeN = jnp.eye(Nt, dtype=dtype)
+        rate_G = jnp.kron(eyeN[1:] - eyeN[:-1], jnp.eye(N_U, dtype=dtype))
+        dw = (stage_offset[1:] - stage_offset[:-1]).reshape(-1)
+        dmax = jnp.tile(jnp.asarray(weights.du_max, dtype), Nt - 1)
+        rows_G += [rate_G, -rate_G]
+        rows_h += [dmax - dw, dmax + dw]
+    return jnp.concatenate(rows_G, axis=0), jnp.concatenate(rows_h)
 
 
 class WarmStart(NamedTuple):
@@ -147,9 +258,15 @@ class SQPInfo(NamedTuple):
 
 
 def init_warmstart(
-    params: BodyParams, scenario: Scenario, cfg: MPCConfig, c0: jnp.ndarray
+    params: BodyParams, scenario: Scenario, cfg: MPCConfig, c0: jnp.ndarray,
+    weights: MPCWeights | None = None,
 ) -> WarmStart:
-    """Roll the center dynamics forward with zero deviation input."""
+    """Roll the center dynamics forward with zero deviation input.
+
+    Pass `weights` when it carries stage bounds (x_lb/x_ub/du_max): the
+    extra dense rows enlarge the term-block dual vector, and the condensed
+    backends carry those duals across steps through `y_term`.
+    """
 
     def step(x, u_ref_zero):
         x1 = center_step(params, scenario.faulty_force_gen, scenario.r, x,
@@ -161,11 +278,12 @@ def init_warmstart(
     U = jnp.zeros((cfg.horizon, N_U), dtype=c0.dtype)
     F = scenario.hull_A.shape[0]
     T = scenario.term_A.shape[0]
+    E = 0 if weights is None else n_extra_rows(weights, cfg.horizon)
     return WarmStart(
         X=X,
         U=U,
         y_hull=jnp.zeros((cfg.horizon, F), dtype=c0.dtype),
-        y_term=jnp.zeros(T, dtype=c0.dtype),
+        y_term=jnp.zeros(T + E, dtype=c0.dtype),
         rho=jnp.asarray(cfg.admm.rho, dtype=c0.dtype),
     )
 
@@ -300,6 +418,16 @@ def _assemble_condensed(
     # soft feasibility restoration on violated rows (see MPCConfig.term_relax)
     h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
 
+    if n_extra_rows(weights, Nt) > 0:
+        # State-box / rate rows ride the dense (elastic) term block: the
+        # solvers treat (G_term, h_term) generically, so no backend change
+        # is needed and the rows inherit the same restoration relax +
+        # l1 exact-penalty elastic behavior as the terminal set.
+        G_ext, h_ext = _ext_rows(weights, X, S_all, phi_all, stage_offset)
+        h_ext = jnp.maximum(h_ext, cfg.term_relax * h_ext)
+        G_term = jnp.concatenate([G_term, G_ext], axis=0)
+        h_term = jnp.concatenate([h_term, h_ext])
+
     qp = StructuredMPCQP(
         H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
     )
@@ -325,9 +453,11 @@ def _assemble_condensed_batch(
     B = X.shape[0]
     n_dec = Nt * N_U
 
+    p_ax = params_batch_axes(params)
     A_stack, B_stack, defects = jax.vmap(
-        lambda sc, Xs, Us: _linearize(params, sc, cfg, Xs, Us, u_ref)
-    )(bank, X, U)
+        lambda p, sc, Xs, Us: _linearize(p, sc, cfg, Xs, Us, u_ref),
+        in_axes=(p_ax, 0, 0, 0),
+    )(params, bank, X, U)
 
     u_r_bar = jnp.einsum(
         "btij,tj->bti", rot_full_inv(X[:, :-1, 9:13]), u_ref[:Nt]
@@ -360,6 +490,14 @@ def _assemble_condensed_batch(
     G_term = jnp.einsum("bti,bin->btn", term_A, S9_N)
     h_term = term_b - jnp.einsum("bti,bi->bt", term_A, e0_N)
     h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
+
+    if n_extra_rows(weights, Nt) > 0:
+        G_ext, h_ext = jax.vmap(
+            lambda Xs, Ss, ps, so: _ext_rows(weights, Xs, Ss, ps, so)
+        )(X, S_all, phi_all, stage_offset)
+        h_ext = jnp.maximum(h_ext, cfg.term_relax * h_ext)
+        G_term = jnp.concatenate([G_term, G_ext], axis=1)
+        h_term = jnp.concatenate([h_term, h_ext], axis=1)
 
     qp = StructuredMPCQP(
         H=H, g=g, hull_A=hull_A, h_hull=h_hull, G_term=G_term, h_term=h_term
@@ -404,10 +542,30 @@ def _assemble_stagewise(
     h_term = term_b - term_A @ e_bar[-1]
     h_term = jnp.maximum(h_term, cfg.term_relax * h_term)
 
+    # Per-stage state box as a stage-row block C dx_t <= h_box_t (mirrors
+    # the hull block, but on states).  Stage Nt is made inert (the
+    # reference bounds non-terminal stages only, `spiraling_mpc.py:180-185`).
+    if weights.has_state_box:
+        xlb, xub = _box_bounds(weights, dtype)
+        Cx = jnp.concatenate([jnp.eye(N_X, dtype=dtype),
+                              -jnp.eye(N_X, dtype=dtype)], axis=0)
+        h_box = jnp.concatenate([xub[None] - X[1:], X[1:] - xlb[None]], axis=1)
+        h_box = h_box.at[-1].set(_BIG)
+        h_box = jnp.maximum(h_box, cfg.term_relax * h_box)
+    else:
+        Cx = jnp.zeros((0, N_X), dtype)
+        h_box = jnp.zeros((Nt, 0), dtype)
+    if weights.du_max is not None:
+        raise NotImplementedError(
+            "input rate limits (du_max) require cross-stage input coupling; "
+            "use qp_backend='condensed' (dense rate rows) -- the stagewise "
+            "Riccati x-update has no adjacent-stage input block"
+        )
+
     qp = StagewiseMPCQP(
         A=A_stack, B=B_stack, c=defects, Qx=Q13, gx=gx, Ru=weights.R,
         gu=U @ weights.R, QxN=QN13, hull_A=hull_A, h_hull=h_hull,
-        T=T13, h_term=h_term,
+        T=T13, h_term=h_term, Cx=Cx, h_box=h_box,
     )
     return qp, defects
 
@@ -441,6 +599,16 @@ def _merit_alpha(
             + jnp.sum(jnp.maximum(w_tot @ hull_A.T - hull_b[None, :], 0.0))
             + jnp.sum(jnp.maximum(term_A @ e_N_c - term_b, 0.0))
         )
+        if weights.has_state_box:
+            xlb, xub = _box_bounds(weights, dtype)
+            xs = Xc[1:-1]  # bounded stages 1..Nt-1
+            viol = viol + jnp.sum(jnp.maximum(xs - xub[None], 0.0))
+            viol = viol + jnp.sum(jnp.maximum(xlb[None] - xs, 0.0))
+        if weights.du_max is not None:
+            dw = w_tot[1:] - w_tot[:-1]
+            viol = viol + jnp.sum(
+                jnp.maximum(jnp.abs(dw) - weights.du_max[None], 0.0)
+            )
         return J + cfg.ls_penalty * viol
 
     alphas = jnp.asarray(cfg.ls_alphas, dtype=dtype)
@@ -495,12 +663,17 @@ def sqp_solve(
                 params, scenario, weights, cfg, X, U, x_ref, u_ref,
                 hull_A, hull_b, term_A, term_b,
             )
+            # The warm y_term may carry extra condensed-layout rows (state
+            # box); the stagewise backend keeps box duals in its own block
+            # (cold-started each solve), so only the true terminal duals
+            # ride through.
+            T_rows = term_A.shape[0]
             ssol = solve_mpc_qp_stagewise(
-                sqp_qp, cfg.stagewise, y_hull0=yh, y_term0=yt, rho0=rho
+                sqp_qp, cfg.stagewise, y_hull0=yh, y_term0=yt[:T_rows], rho0=rho
             )
             dU = ssol.dU
             dX = ssol.dX[1:]
-            sol = ssol  # for residual reporting below
+            sol = ssol._replace(y_term=yt.at[:T_rows].set(ssol.y_term))
             rho_new = ssol.rho
             du_raw = jnp.max(jnp.abs(dU))
         else:
@@ -531,6 +704,27 @@ def sqp_solve(
         None,
         length=cfg.sqp_iters,
     )
+    last_info = tuple(i[-1] for i in infos)
+
+    if cfg.refine_iters > 0:
+        # Convergence-gated extra SQP iterations (see MPCConfig.refine_*).
+        def refine(full, _):
+            carry, info = full
+            need = jnp.maximum(info[0], info[3]) > cfg.refine_tol
+            carry, info = jax.lax.cond(
+                need,
+                lambda c: sqp_iteration(c, None),
+                lambda c: (c, info),
+                carry,
+            )
+            return (carry, info), None
+
+        ((X, U, y_hull, y_term, rho), last_info), _ = jax.lax.scan(
+            refine,
+            ((X, U, y_hull, y_term, rho), last_info),
+            None,
+            length=cfg.refine_iters,
+        )
 
     # Realized objective (diagnostic, exact nonlinear-trajectory quadratic cost).
     e_run = X[:-1, :N_OPT] - x_ref[:-1]
@@ -543,11 +737,11 @@ def sqp_solve(
 
     info = SQPInfo(
         cost=cost,
-        r_prim=infos[0][-1],
-        r_dual=infos[1][-1],
-        defect=infos[2][-1],
-        du_norm=infos[3][-1],
-        term_gap=infos[4][-1],
+        r_prim=last_info[0],
+        r_dual=last_info[1],
+        defect=last_info[2],
+        du_norm=last_info[3],
+        term_gap=last_info[4],
     )
     return (
         WarmStart(X=X, U=U, y_hull=y_hull, y_term=y_term, rho=rho, kinv=warm.kinv),
@@ -596,21 +790,24 @@ def sqp_solve_batch(
         K0, _ = build_K(qp0, warm.rho.astype(jnp.float32), cfg.admm.sigma)
         warm = warm._replace(kinv=exact_kinv(K0))
 
-    # params/weights/cfg/x_ref/u_ref are loop-invariant: close over them
-    # (cfg carries non-array leaves vmap must not traverse).
-    assemble = lambda sc, xr, X, U, hA, hb, tA, tb: _assemble_condensed_batch(
-        params, sc, weights, cfg, X, U, xr, u_ref, hA, hb, tA, tb
+    # weights/cfg/x_ref/u_ref are loop-invariant: close over them (cfg
+    # carries non-array leaves vmap must not traverse).  params is passed
+    # explicitly so the worst-K cleanup can gather its batched leaves.
+    p_ax = params_batch_axes(params)
+    assemble = lambda p, sc, xr, X, U, hA, hb, tA, tb: _assemble_condensed_batch(
+        p, sc, weights, cfg, X, U, xr, u_ref, hA, hb, tA, tb
     )
     line_search = jax.vmap(
-        lambda sc, xr, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
-            params, sc, weights, cfg, X, U, dX, dU, xr, u_ref, hA, hb, tA, tb
-        )
+        lambda p, sc, xr, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
+            p, sc, weights, cfg, X, U, dX, dU, xr, u_ref, hA, hb, tA, tb
+        ),
+        in_axes=(p_ax, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
     )
 
     def sqp_iteration(carry, _):
         X, U, yh, yt, rho, kinv = carry
         qp, S_all, phi_all, defects = assemble(
-            bank, x_ref, X, U, hull_A, hull_b, term_A, term_b
+            params, bank, x_ref, X, U, hull_A, hull_b, term_A, term_b
         )
         sol = solve_mpc_qp_lanes(
             qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho, kinv0=kinv,
@@ -619,7 +816,7 @@ def sqp_solve_batch(
         dU = sol.x.reshape(-1, Nt, N_U)
         dX = jnp.einsum("btin,bn->bti", S_all, sol.x) + phi_all
         alpha = line_search(
-            bank, x_ref, X, U, dX, dU, hull_A, hull_b, term_A, term_b
+            params, bank, x_ref, X, U, dX, dU, hull_A, hull_b, term_A, term_b
         )  # (B,)
         a = alpha[:, None, None]
         U_new = U + a * dU
@@ -646,17 +843,23 @@ def sqp_solve_batch(
     )
     r_prim_f, r_dual_f, defect_f, du_norm_f, term_gap_f = (i[-1] for i in infos)
 
-    if cfg.cleanup_iters > 0 and cfg.cleanup_k > 0:
+    n_rounds = cfg.cleanup_rounds if (cfg.cleanup_iters > 0 and cfg.cleanup_k > 0) else 0
+    for _ in range(n_rounds):
         # Tail cleanup: one extra SQP iteration on the K worst scenarios
         # with exact factorization and a large ADMM budget (see MPCConfig).
         K = min(cfg.cleanup_k, X.shape[0])
-        _, idx = jax.lax.top_k(r_prim_f, K)
+        # Worst-K keyed on QP residual + SQP step size + shooting defect
+        # (VERDICT r4 item 1): r_prim alone misses transient scenarios whose
+        # QP converged but whose SQP has not (large du_norm/defect) -- those
+        # are exactly the rows that deviate from the converged golden.
+        _, idx = jax.lax.top_k(r_prim_f + du_norm_f + defect_f, K)
         bank_s = jax.tree.map(lambda a: a[idx], bank)
+        params_s = _params_row(params, p_ax, idx)
         X_s, U_s = X[idx], U[idx]
         hA_s, hb_s = hull_A[idx], hull_b[idx]
         tA_s, tb_s = term_A[idx], term_b[idx]
         qp_s, S_s, phi_s, defects_s = assemble(
-            bank_s, x_ref[idx], X_s, U_s, hA_s, hb_s, tA_s, tb_s
+            params_s, bank_s, x_ref[idx], X_s, U_s, hA_s, hb_s, tA_s, tb_s
         )
         ccfg = cfg.admm._replace(
             iters=cfg.cleanup_iters, phases=cfg.cleanup_phases, adapt_clip=5.0
@@ -670,7 +873,8 @@ def sqp_solve_batch(
         dU_s = sol.x.reshape(K, Nt, N_U)
         dX_s = jnp.einsum("btin,bn->bti", S_s, sol.x) + phi_s
         alpha = line_search(
-            bank_s, x_ref[idx], X_s, U_s, dX_s, dU_s, hA_s, hb_s, tA_s, tb_s
+            params_s, bank_s, x_ref[idx], X_s, U_s, dX_s, dU_s,
+            hA_s, hb_s, tA_s, tb_s,
         )
         a = alpha[:, None, None]
         X = X.at[idx].set(
@@ -719,13 +923,15 @@ def _sqp_batch_stagewise_core(
     -- every ADMM x-update is 2 kernel launches for the whole bank.
     Other modes: vmap of the per-scenario `sqp_solve`.
     """
+    p_ax = params_batch_axes(params)
     if cfg.stagewise.mode != "lanes":
         solve = jax.vmap(
-            lambda sc, c, w: sqp_solve(
-                params, sc, weights, cfg, c, x_ref, u_ref, w
-            )
+            lambda p, sc, c, w: sqp_solve(
+                p, sc, weights, cfg, c, x_ref, u_ref, w
+            ),
+            in_axes=(p_ax, 0, 0, 0),
         )
-        return solve(bank, c0, warm)
+        return solve(params, bank, c0, warm)
 
     from ft_mpc_tpu.solvers.mpc_qp_stagewise import solve_mpc_qp_stagewise_lanes
 
@@ -737,28 +943,35 @@ def _sqp_batch_stagewise_core(
     )
     hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
     assemble = jax.vmap(
-        lambda sc, xr, X, U, hA, hb, tA, tb: _assemble_stagewise(
-            params, sc, weights, cfg, X, U, xr, u_ref, hA, hb, tA, tb
-        )
+        lambda p, sc, xr, X, U, hA, hb, tA, tb: _assemble_stagewise(
+            p, sc, weights, cfg, X, U, xr, u_ref, hA, hb, tA, tb
+        ),
+        in_axes=(p_ax, 0, 0, 0, 0, 0, 0, 0, 0),
     )
     line_search = jax.vmap(
-        lambda sc, xr, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
-            params, sc, weights, cfg, X, U, dX, dU, xr, u_ref, hA, hb, tA, tb
-        )
+        lambda p, sc, xr, X, U, dX, dU, hA, hb, tA, tb: _merit_alpha(
+            p, sc, weights, cfg, X, U, dX, dU, xr, u_ref, hA, hb, tA, tb
+        ),
+        in_axes=(p_ax, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
     )
+
+    T_rows = term_A.shape[-2]
 
     def sqp_iteration(carry, _):
         X, U, yh, yt, rho = carry
         qp, defects = assemble(
-            bank, x_ref_b, X, U, hull_A, hull_b, term_A, term_b
+            params, bank, x_ref_b, X, U, hull_A, hull_b, term_A, term_b
         )
+        # warm y_term may carry extra condensed-layout rows (state box);
+        # only the true terminal duals ride through (see sqp_solve).
         ssol = solve_mpc_qp_stagewise_lanes(
-            qp, cfg.stagewise, y_hull0=yh, y_term0=yt, rho0=rho
+            qp, cfg.stagewise, y_hull0=yh, y_term0=yt[:, :T_rows], rho0=rho
         )
+        ssol = ssol._replace(y_term=yt.at[:, :T_rows].set(ssol.y_term))
         dU = ssol.dU
         dX = ssol.dX[:, 1:]
         alpha = line_search(
-            bank, x_ref_b, X, U, dX, dU, hull_A, hull_b, term_A, term_b
+            params, bank, x_ref_b, X, U, dX, dU, hull_A, hull_b, term_A, term_b
         )
         a = alpha[:, None, None]
         U_new = U + a * dU
@@ -828,9 +1041,11 @@ def sqp_solve_batch_stagewise(
         params, bank, weights, cfg, c0, x_ref, u_ref, warm
     )
 
-    if cfg.cleanup_iters > 0 and cfg.cleanup_k > 0:
+    n_rounds = cfg.cleanup_rounds if (cfg.cleanup_iters > 0 and cfg.cleanup_k > 0) else 0
+    for _ in range(n_rounds):
         K = min(cfg.cleanup_k, c0.shape[0])
-        _, idx = jax.lax.top_k(info.r_prim, K)
+        # same transient-aware worst-K key as the condensed batch path
+        _, idx = jax.lax.top_k(info.r_prim + info.du_norm + info.defect, K)
         ccfg = cfg._replace(
             sqp_iters=1,
             stagewise=cfg.stagewise._replace(
@@ -841,9 +1056,10 @@ def sqp_solve_batch_stagewise(
             cleanup_iters=0,
         )
         bank_s = jax.tree.map(lambda a: a[idx], bank)
+        params_s = _params_row(params, params_batch_axes(params), idx)
         warm_s = jax.tree.map(lambda a: a[idx], new_warm)
         warm_c, info_c = _sqp_batch_stagewise_core(
-            params, bank_s, weights, ccfg, c0[idx], x_ref, u_ref, warm_s
+            params_s, bank_s, weights, ccfg, c0[idx], x_ref, u_ref, warm_s
         )
         new_warm = jax.tree.map(lambda a, b: a.at[idx].set(b), new_warm, warm_c)
         info = jax.tree.map(lambda a, b: a.at[idx].set(b), info, info_c)
@@ -906,7 +1122,11 @@ def init_warmstart_batch(
     """
     from ft_mpc_tpu.solvers.lanes_qp import build_K, exact_kinv
 
-    warm = jax.vmap(lambda sc, c: init_warmstart(params, sc, cfg, c))(bank, c0)
+    p_ax = params_batch_axes(params)
+    warm = jax.vmap(
+        lambda p, sc, c: init_warmstart(p, sc, cfg, c, weights=weights),
+        in_axes=(p_ax, 0, 0),
+    )(params, bank, c0)
     if cfg.qp_backend == "stagewise":
         return warm
     hull_A, hull_b, term_A, term_b = jax.vmap(_masked_geometry)(bank)
@@ -943,6 +1163,13 @@ def get_control_batch(
     solver vmapped over the bank -- same batched API, no condensed
     (Nt*nu)^2 metric ever materialized.  Allocation stays lane-fused in
     both cases (horizon-independent).
+
+    Per-scenario plant variation: `params` leaves may carry a leading
+    scenario axis (see `params_batch_axes`) for mass/inertia/inertia_inv
+    -- BASELINE config 5's randomized-inertia banks.  D and max_thrust
+    must stay shared (thruster geometry; the lane-fused allocation kernel
+    reads them unbatched -- per-scenario fault reshaping already lives in
+    the scenario's gen_G/hull tensors).
     """
     from ft_mpc_tpu.solvers.lanes_alloc import allocate_thrusters_lanes
 

@@ -102,7 +102,7 @@ def rollout(
     x_init = x_init.astype(dtype)
 
     c_init = robot_to_center(scenario.r, x_init)
-    warm0 = init_warmstart(params, scenario, mpc_cfg, c_init)
+    warm0 = init_warmstart(params, scenario, mpc_cfg, c_init, weights=weights)
 
     def step(carry, i):
         state, warm, key = carry
@@ -177,7 +177,7 @@ def rollout_with_fault_schedule(
 
     sc0 = active_scenario(jnp.asarray(0))
     c_init = robot_to_center(sc0.r, x_init)
-    warm0 = init_warmstart(params, sc0, mpc_cfg, c_init)
+    warm0 = init_warmstart(params, sc0, mpc_cfg, c_init, weights=weights)
 
     def step(carry, i):
         state, warm, key = carry

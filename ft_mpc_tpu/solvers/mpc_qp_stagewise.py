@@ -65,6 +65,12 @@ class StagewiseMPCQP(NamedTuple):
     h_hull: jnp.ndarray  # (Nt, F)
     T: jnp.ndarray  # (Tm, n) terminal rows (masked rows zeroed, n-embedded)
     h_term: jnp.ndarray  # (Tm,)
+    # Optional per-stage state-row block Cx dx_t <= h_box_t for t = 1..Nt
+    # (the stagewise form of the reference's state box,
+    # `spiraling_mpc.py:180-185`; mirrors the hull block but on states).
+    # Zero-row Cx (shape (0, n)) disables it statically.
+    Cx: jnp.ndarray | None = None  # (S, n)
+    h_box: jnp.ndarray | None = None  # (Nt, S)
 
 
 class StagewiseConfig(NamedTuple):
@@ -120,28 +126,36 @@ def solve_mpc_qp_stagewise(
 
     AhTAh = qp.hull_A.T @ qp.hull_A
     TtT = qp.T.T @ qp.T
+    # Optional stage state-row block; zero-row Cx degenerates every box
+    # term below to a no-op (empty contractions are free).
+    Cx = qp.Cx if qp.Cx is not None else jnp.zeros((0, n), dtype)
+    h_box = qp.h_box if qp.h_box is not None else jnp.zeros((Nt, 0), dtype)
+    S_box = Cx.shape[0]
+    CtC = Cx.T @ Cx  # (n, n); zeros when S_box == 0
     eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
     zeros_x = jnp.zeros(n, dtype)
 
-    def x_update_factored(fact, resolve, dX, dU, zh, zt, yh, yt, rho):
+    def x_update_factored(fact, resolve, dX, dU, zh, zt, zb, yh, yt, yb, rho):
         vh = zh - yh / rho  # (Nt, F)
         vt = zt - yt / rho  # (Tm,)
+        vb = zb - yb / rho  # (Nt, S)
         r_lin = 2.0 * qp.gu - cfg.sigma * dU - rho * (vh @ qp.hull_A)
-        q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:]
+        q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:] - rho * (vb @ Cx)
         qN_lin = q_lin[-1] - rho * (qp.T.T @ vt)
         q_full = jnp.concatenate([zeros_x[None], q_lin[:-1]], axis=0)
         return resolve(fact, q_full, r_lin, qN_lin, zeros_x)
 
-    def x_update_assoc(rho, dX, dU, zh, zt, yh, yt):
+    def x_update_assoc(rho, dX, dU, zh, zt, zb, yh, yt, yb):
         vh = zh - yh / rho
         vt = zt - yt / rho
+        vb = zb - yb / rho
         r_lin = 2.0 * qp.gu - cfg.sigma * dU - rho * (vh @ qp.hull_A)
-        q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:]
+        q_lin = 2.0 * qp.gx[1:] - cfg.sigma * dX[1:] - rho * (vb @ Cx)
         qN_lin = q_lin[-1] - rho * (qp.T.T @ vt)
-        Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n
+        Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n + rho * CtC
         R_stage = 2.0 * qp.Ru + cfg.sigma * eye_m + rho * AhTAh
-        QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * TtT
+        QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * (TtT + CtC)
         prob = LQRProblem(
             A=qp.A, B=qp.B, c=qp.c,
             Q=jnp.broadcast_to(Q_stage, (Nt, n, n)),
@@ -153,14 +167,16 @@ def solve_mpc_qp_stagewise(
         return sol.X, sol.U
 
     def Gx(dX, dU):
-        return dU @ qp.hull_A.T, qp.T @ dX[-1]
+        return dU @ qp.hull_A.T, qp.T @ dX[-1], dX[1:] @ Cx.T
 
     dX0 = jnp.zeros((Nt + 1, n), dtype)
     dU0 = jnp.zeros((Nt, m), dtype)
     yh0 = jnp.zeros((Nt, F), dtype) if y_hull0 is None else y_hull0
     yt0 = jnp.zeros(qp.h_term.shape, dtype) if y_term0 is None else y_term0
+    yb0 = jnp.zeros((Nt, S_box), dtype)
     zh0 = jnp.minimum(jnp.zeros((Nt, F), dtype), qp.h_hull)
     zt0 = jnp.minimum(qp.T @ dX0[-1], qp.h_term)
+    zb0 = jnp.minimum(jnp.zeros((Nt, S_box), dtype), h_box)
     rho_init = (
         jnp.asarray(cfg.rho, dtype)
         if rho0 is None
@@ -168,12 +184,12 @@ def solve_mpc_qp_stagewise(
     )
 
     def run_phase(carry, _):
-        dX, dU, zh, zt, yh, yt, rho = carry
+        dX, dU, zh, zt, zb, yh, yt, yb, rho = carry
         if cfg.mode in ("scan", "scan-assoc"):
             # one Riccati factorization for the whole phase (rho fixed)
-            Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n
+            Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n + rho * CtC
             R_stage = 2.0 * qp.Ru + cfg.sigma * eye_m + rho * AhTAh
-            QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * TtT
+            QN = 2.0 * qp.QxN + cfg.sigma * eye_n + rho * (TtT + CtC)
             # 'scan-assoc': factor SEQUENTIALLY (once per phase -- cheap,
             # and lqr_factor_assoc's combine needs two batched 13x13
             # inverses per scan level, the slow-XLA pattern), resolve with
@@ -186,41 +202,56 @@ def solve_mpc_qp_stagewise(
             x_update = partial(x_update_assoc, rho)
 
         def body(_, st):
-            dX, dU, zh, zt, yh, yt = st
+            dX, dU, zh, zt, zb, yh, yt, yb = st
             if cfg.mode in ("scan", "scan-assoc"):
-                dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt, rho)
+                dX_t, dU_t = x_update(dX, dU, zh, zt, zb, yh, yt, yb, rho)
             else:
-                dX_t, dU_t = x_update(dX, dU, zh, zt, yh, yt)
+                dX_t, dU_t = x_update(dX, dU, zh, zt, zb, yh, yt, yb)
             dX_new = cfg.alpha * dX_t + (1 - cfg.alpha) * dX
             dU_new = cfg.alpha * dU_t + (1 - cfg.alpha) * dU
-            Gh_t, Gt_t = Gx(dX_t, dU_t)
+            Gh_t, Gt_t, Gb_t = Gx(dX_t, dU_t)
             zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
             zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
+            zb_hat = cfg.alpha * Gb_t + (1 - cfg.alpha) * zb
             zh_new = jnp.minimum(zh_hat + yh / rho, qp.h_hull)
             vt = zt_hat + yt / rho
+            vb = zb_hat + yb / rho
             if cfg.elastic_y_max > 0:
                 # exact hinge-penalty prox (see mpc_qp.body): consensus
-                # converges on infeasible rows, dual saturates at y_max
+                # converges on infeasible rows, dual saturates at y_max.
+                # Box rows get the same elastic treatment as terminal rows
+                # (a transiently box-violating linearization must not stall
+                # the QP).
                 soft = vt > qp.h_term + cfg.elastic_y_max / rho
                 zt_new = jnp.where(
                     soft,
                     vt - cfg.elastic_y_max / rho,
                     jnp.minimum(vt, qp.h_term),
                 )
+                soft_b = vb > h_box + cfg.elastic_y_max / rho
+                zb_new = jnp.where(
+                    soft_b,
+                    vb - cfg.elastic_y_max / rho,
+                    jnp.minimum(vb, h_box),
+                )
             else:
                 zt_new = jnp.minimum(vt, qp.h_term)
+                zb_new = jnp.minimum(vb, h_box)
             yh_new = yh + rho * (zh_hat - zh_new)
             yt_new = yt + rho * (zt_hat - zt_new)
+            yb_new = yb + rho * (zb_hat - zb_new)
             if cfg.elastic_y_max > 0:
                 yt_new = jnp.clip(yt_new, 0.0, cfg.elastic_y_max)
-            return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
+                yb_new = jnp.clip(yb_new, 0.0, cfg.elastic_y_max)
+            return (dX_new, dU_new, zh_new, zt_new, zb_new,
+                    yh_new, yt_new, yb_new)
 
-        dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
-            0, cfg.iters, body, (dX, dU, zh, zt, yh, yt)
+        dX, dU, zh, zt, zb, yh, yt, yb = jax.lax.fori_loop(
+            0, cfg.iters, body, (dX, dU, zh, zt, zb, yh, yt, yb)
         )
 
         # scaled-residual rho adaptation (same rule as mpc_qp.run_phase)
-        Gh, Gt = Gx(dX, dU)
+        Gh, Gt, Gb = Gx(dX, dU)
         # consensus residual is honest on elastic rows (exact hinge prox);
         # the restoration gap is reported for dual-saturated rows
         term_res = jnp.abs(Gt - zt)
@@ -229,11 +260,20 @@ def solve_mpc_qp_stagewise(
             term_gap = jnp.max(
                 jnp.where(at_clamp, jnp.maximum(Gt - qp.h_term, 0.0), 0.0)
             )
+            at_clamp_b = yb >= 0.999 * cfg.elastic_y_max
+            term_gap = jnp.maximum(
+                term_gap,
+                jnp.max(
+                    jnp.where(at_clamp_b, jnp.maximum(Gb - h_box, 0.0), 0.0),
+                    initial=0.0,
+                ),
+            )
         else:
             term_gap = jnp.zeros((), dtype)
         r_prim = jnp.maximum(
             jnp.max(jnp.abs(Gh - zh)), jnp.max(term_res)
         )
+        r_prim = jnp.maximum(r_prim, jnp.max(jnp.abs(Gb - zb), initial=0.0))
         r_dual = jnp.max(
             jnp.abs(2.0 * (dU @ qp.Ru) + 2.0 * qp.gu + yh @ qp.hull_A)
         )
@@ -247,10 +287,10 @@ def solve_mpc_qp_stagewise(
         # would random-walk (same rule as the condensed/lanes backends)
         factor = jnp.where(r_prim <= 1e-4, 1.0, factor)
         rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
-        return (dX, dU, zh, zt, yh, yt, rho_new), (r_prim, r_dual, term_gap)
+        return (dX, dU, zh, zt, zb, yh, yt, yb, rho_new), (r_prim, r_dual, term_gap)
 
-    (dX, dU, zh, zt, yh, yt, rho_out), (rps, rds, gaps) = jax.lax.scan(
-        run_phase, (dX0, dU0, zh0, zt0, yh0, yt0, rho_init), None,
+    (dX, dU, zh, zt, zb, yh, yt, yb, rho_out), (rps, rds, gaps) = jax.lax.scan(
+        run_phase, (dX0, dU0, zh0, zt0, zb0, yh0, yt0, yb0, rho_init), None,
         length=cfg.phases,
     )
     return StagewiseSolution(
@@ -285,6 +325,11 @@ def solve_mpc_qp_stagewise_lanes(
 
     AhTAh = jnp.einsum("bfi,bfj->bij", qp.hull_A, qp.hull_A)
     TtT = jnp.einsum("bti,btj->bij", qp.T, qp.T)
+    # Optional stage state-row block (see solve_mpc_qp_stagewise)
+    Cx = qp.Cx if qp.Cx is not None else jnp.zeros((B, 0, n), dtype)
+    h_box = qp.h_box if qp.h_box is not None else jnp.zeros((B, Nt, 0), dtype)
+    S_box = Cx.shape[-2]
+    CtC = jnp.einsum("bsi,bsj->bij", Cx, Cx)
     eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
     zeros_x = jnp.zeros((B, n), dtype)
@@ -292,14 +337,17 @@ def solve_mpc_qp_stagewise_lanes(
     def Gx(dX, dU):
         Gh = jnp.einsum("btm,bfm->btf", dU, qp.hull_A)
         Gt = jnp.einsum("btn,bn->bt", qp.T, dX[:, -1])
-        return Gh, Gt
+        Gb = jnp.einsum("btn,bsn->bts", dX[:, 1:], Cx)
+        return Gh, Gt, Gb
 
     dX0 = jnp.zeros((B, Nt + 1, n), dtype)
     dU0 = jnp.zeros((B, Nt, m), dtype)
     yh0 = jnp.zeros((B, Nt, F), dtype) if y_hull0 is None else y_hull0
     yt0 = jnp.zeros(qp.h_term.shape, dtype) if y_term0 is None else y_term0
+    yb0 = jnp.zeros((B, Nt, S_box), dtype)
     zh0 = jnp.minimum(jnp.zeros((B, Nt, F), dtype), qp.h_hull)
     zt0 = jnp.minimum(jnp.einsum("btn,bn->bt", qp.T, dX0[:, -1]), qp.h_term)
+    zb0 = jnp.minimum(jnp.zeros((B, Nt, S_box), dtype), h_box)
     rho_init = (
         jnp.full((B,), cfg.rho, dtype)
         if rho0 is None
@@ -308,25 +356,35 @@ def solve_mpc_qp_stagewise_lanes(
     )
 
     def run_phase(carry, _):
-        dX, dU, zh, zt, yh, yt, rho = carry
+        dX, dU, zh, zt, zb, yh, yt, yb, rho = carry
         # one batched Riccati factorization for the whole phase (rho fixed)
-        Q_stage = 2.0 * qp.Qx + cfg.sigma * eye_n[None]
+        Q_stage = (
+            2.0 * qp.Qx + cfg.sigma * eye_n[None]
+            + rho[:, None, None] * CtC
+        )
         R_stage = (
             2.0 * qp.Ru + cfg.sigma * eye_m[None]
             + rho[:, None, None] * AhTAh
         )
-        QN = 2.0 * qp.QxN + cfg.sigma * eye_n[None] + rho[:, None, None] * TtT
+        QN = (
+            2.0 * qp.QxN + cfg.sigma * eye_n[None]
+            + rho[:, None, None] * (TtT + CtC)
+        )
         fact = jax.vmap(lqr_factor)(qp.A, qp.B, qp.c, Q_stage, R_stage, QN)
 
         def body(_, st):
-            dX, dU, zh, zt, yh, yt = st
+            dX, dU, zh, zt, zb, yh, yt, yb = st
             vh = zh - yh / rho[:, None, None]
             vt = zt - yt / rho[:, None]
+            vb = zb - yb / rho[:, None, None]
             r_lin = (
                 2.0 * qp.gu - cfg.sigma * dU
                 - rho[:, None, None] * jnp.einsum("btf,bfm->btm", vh, qp.hull_A)
             )
-            q_lin = 2.0 * qp.gx[:, 1:] - cfg.sigma * dX[:, 1:]
+            q_lin = (
+                2.0 * qp.gx[:, 1:] - cfg.sigma * dX[:, 1:]
+                - rho[:, None, None] * jnp.einsum("bts,bsn->btn", vb, Cx)
+            )
             qN_lin = q_lin[:, -1] - rho[:, None] * jnp.einsum(
                 "btn,bt->bn", qp.T, vt
             )
@@ -336,11 +394,13 @@ def solve_mpc_qp_stagewise_lanes(
             dX_t, dU_t = lqr_resolve_lanes(fact, q_full, r_lin, qN_lin, zeros_x)
             dX_new = cfg.alpha * dX_t + (1 - cfg.alpha) * dX
             dU_new = cfg.alpha * dU_t + (1 - cfg.alpha) * dU
-            Gh_t, Gt_t = Gx(dX_t, dU_t)
+            Gh_t, Gt_t, Gb_t = Gx(dX_t, dU_t)
             zh_hat = cfg.alpha * Gh_t + (1 - cfg.alpha) * zh
             zt_hat = cfg.alpha * Gt_t + (1 - cfg.alpha) * zt
+            zb_hat = cfg.alpha * Gb_t + (1 - cfg.alpha) * zb
             zh_new = jnp.minimum(zh_hat + yh / rho[:, None, None], qp.h_hull)
             vt_z = zt_hat + yt / rho[:, None]
+            vb_z = zb_hat + yb / rho[:, None, None]
             if cfg.elastic_y_max > 0:
                 # exact hinge-penalty prox (see solve_mpc_qp_stagewise)
                 soft_shift = cfg.elastic_y_max / rho[:, None]
@@ -349,19 +409,29 @@ def solve_mpc_qp_stagewise_lanes(
                     vt_z - soft_shift,
                     jnp.minimum(vt_z, qp.h_term),
                 )
+                soft_b = cfg.elastic_y_max / rho[:, None, None]
+                zb_new = jnp.where(
+                    vb_z > h_box + soft_b,
+                    vb_z - soft_b,
+                    jnp.minimum(vb_z, h_box),
+                )
             else:
                 zt_new = jnp.minimum(vt_z, qp.h_term)
+                zb_new = jnp.minimum(vb_z, h_box)
             yh_new = yh + rho[:, None, None] * (zh_hat - zh_new)
             yt_new = yt + rho[:, None] * (zt_hat - zt_new)
+            yb_new = yb + rho[:, None, None] * (zb_hat - zb_new)
             if cfg.elastic_y_max > 0:
                 yt_new = jnp.clip(yt_new, 0.0, cfg.elastic_y_max)
-            return (dX_new, dU_new, zh_new, zt_new, yh_new, yt_new)
+                yb_new = jnp.clip(yb_new, 0.0, cfg.elastic_y_max)
+            return (dX_new, dU_new, zh_new, zt_new, zb_new,
+                    yh_new, yt_new, yb_new)
 
-        dX, dU, zh, zt, yh, yt = jax.lax.fori_loop(
-            0, cfg.iters, body, (dX, dU, zh, zt, yh, yt)
+        dX, dU, zh, zt, zb, yh, yt, yb = jax.lax.fori_loop(
+            0, cfg.iters, body, (dX, dU, zh, zt, zb, yh, yt, yb)
         )
 
-        Gh, Gt = Gx(dX, dU)
+        Gh, Gt, Gb = Gx(dX, dU)
         term_res = jnp.abs(Gt - zt)
         if cfg.elastic_y_max > 0:
             at_clamp = yt >= 0.999 * cfg.elastic_y_max
@@ -369,10 +439,21 @@ def solve_mpc_qp_stagewise_lanes(
                 jnp.where(at_clamp, jnp.maximum(Gt - qp.h_term, 0.0), 0.0),
                 axis=1,
             )
+            at_clamp_b = yb >= 0.999 * cfg.elastic_y_max
+            term_gap = jnp.maximum(
+                term_gap,
+                jnp.max(
+                    jnp.where(at_clamp_b, jnp.maximum(Gb - h_box, 0.0), 0.0),
+                    axis=(1, 2), initial=0.0,
+                ),
+            )
         else:
             term_gap = jnp.zeros((B,), dtype)
         r_prim = jnp.maximum(
             jnp.max(jnp.abs(Gh - zh), axis=(1, 2)), jnp.max(term_res, axis=1)
+        )
+        r_prim = jnp.maximum(
+            r_prim, jnp.max(jnp.abs(Gb - zb), axis=(1, 2), initial=0.0)
         )
         r_dual = jnp.max(
             jnp.abs(
@@ -399,10 +480,10 @@ def solve_mpc_qp_stagewise_lanes(
         factor = jnp.clip(jnp.sqrt(ratio), 1.0 / cfg.adapt_clip, cfg.adapt_clip)
         factor = jnp.where(r_prim <= 1e-4, 1.0, factor)
         rho_new = jnp.clip(rho * factor, cfg.rho_min, cfg.rho_max)
-        return (dX, dU, zh, zt, yh, yt, rho_new), (r_prim, r_dual, term_gap)
+        return (dX, dU, zh, zt, zb, yh, yt, yb, rho_new), (r_prim, r_dual, term_gap)
 
-    (dX, dU, zh, zt, yh, yt, rho_out), (rps, rds, gaps) = jax.lax.scan(
-        run_phase, (dX0, dU0, zh0, zt0, yh0, yt0, rho_init), None,
+    (dX, dU, zh, zt, zb, yh, yt, yb, rho_out), (rps, rds, gaps) = jax.lax.scan(
+        run_phase, (dX0, dU0, zh0, zt0, zb0, yh0, yt0, yb0, rho_init), None,
         length=cfg.phases,
     )
     return StagewiseSolution(

@@ -79,6 +79,12 @@ def load_config(path: str | Path | None = None) -> RunConfig:
             "time_scaling": pset.get("time_scaling", 5),
             "empc_horizon": pset.get("empc_horizon", 3),
         }
+        # Optional stage constraints: xlb/xub are the reference's per-stage
+        # state box keys (`spiraling_mpc.py:129-130`, 13-vectors); du_max is
+        # a framework extra (6-vector wrench rate bound per control step).
+        for key in ("xlb", "xub", "du_max"):
+            if pset.get(key) is not None:
+                tuning[key] = pset[key]
 
     tpu = raw.get("tpu", {})
     return RunConfig(
