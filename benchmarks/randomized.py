@@ -1,0 +1,144 @@
+"""BASELINE config 5: randomized (fault x initial state x inertia) bank.
+
+Builds a 10k+ scenario bank where every row draws its own fault pattern
+(healthy + all singles + all doubles), initial robot state, and plant
+perturbation (mass +-15%, per-axis inertia +-20% around the
+`data/InertialProperties.md` constants -- the values the reference
+hard-codes at `ft_mpc/models/sys_model.py:51-60`), then measures batched
+control-step throughput on one chip with the deployed solver config.  The
+dynamics, linearization, spiral parameters, compensation wrenches, and
+terminal ingredients all use each row's own plant (per-scenario BodyParams
+leaves; `controllers.spiraling.params_batch_axes`).
+
+Writes RANDOMIZED_r05.json:
+  {n, pool, throughput, latency, residual stats, plant ranges}.
+
+Run:  PYTHONPATH=/root/repo python benchmarks/randomized.py  (TPU)
+      FT_MPC_RAND_N=512 ... (small smoke run)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_tpu_cache"),
+)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from ft_mpc_tpu.controllers.spiraling import (
+        MPCConfig,
+        MPCWeights,
+        get_control_batch,
+        init_warmstart_batch,
+    )
+    from ft_mpc_tpu.geometry.scenario import build_randomized_bank
+    from ft_mpc_tpu.ops.dynamics import BodyParams, robot_to_center
+    from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
+    from ft_mpc_tpu.utils.trajectory import (
+        generate_trajectory,
+        prepare_center_trajectory,
+    )
+
+    dt = 0.1
+    horizon = 15
+    n = int(os.environ.get("FT_MPC_RAND_N", 10240))
+    params0 = BodyParams.default(dt)
+
+    t0 = time.time()
+    bank, params, x0 = build_randomized_bank(params0, n, seed=0)
+    build_s = time.time() - t0
+    bank_t = jax.device_put(bank.scenarios)
+    params_t = jax.device_put(params)
+    x0 = jnp.asarray(x0, jnp.float32)
+
+    weights = MPCWeights.from_diagonals(
+        [1, 1, 1, 1, 1, 1, 2, 2, 2], [0.1, 0.1, 0.1, 0.01, 0.01, 0.01]
+    )
+    cfg = MPCConfig(
+        horizon=horizon,
+        sqp_iters=2,
+        admm=StructuredADMMConfig(iters=60, phases=1, rho=50.0, adapt_clip=1.5),
+        newton_iters=3,
+        cleanup_iters=600,
+        cleanup_k=max(256, n // 8) if n >= 256 else n,  # bench-parity coverage
+        cleanup_phases=3,
+    )
+
+    traj = generate_trajectory("hover", dt, 5)
+    x_ref, u_ref = prepare_center_trajectory(
+        traj, np.array([0.0, 0.0, 0.6]), float(params0.mass), dt, horizon + 1
+    )
+    x_ref = jnp.asarray(x_ref[: horizon + 1])
+    u_ref = jnp.asarray(u_ref[: horizon + 1])
+
+    warm = jax.jit(
+        lambda p, b, x: init_warmstart_batch(
+            p, b, weights, cfg, jax.vmap(robot_to_center)(b.r, x), x_ref, u_ref,
+        )
+    )(params_t, bank_t, x0)
+
+    n_reps = 10
+
+    @jax.jit
+    def run_n(p, b, x, w):
+        def body(i, w):
+            out = get_control_batch(p, b, weights, cfg, x, x_ref, u_ref, w)
+            return out.warm
+
+        w = jax.lax.fori_loop(0, n_reps - 1, body, w)
+        return get_control_batch(p, b, weights, cfg, x, x_ref, u_ref, w)
+
+    out = run_n(params_t, bank_t, x0, warm)
+    jax.block_until_ready(out)
+
+    samples_ms = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        out = run_n(params_t, bank_t, x0, out.warm)
+        jax.block_until_ready(out)
+        samples_ms.append(1e3 * (time.perf_counter() - t0) / n_reps)
+    p50 = float(np.percentile(samples_ms, 50))
+    p99 = float(np.percentile(samples_ms, 99))
+
+    assert np.isfinite(np.asarray(out.u_phys)).all()
+    rp = np.asarray(out.info.r_prim)
+    gaps = np.asarray(out.info.term_gap)
+    result = {
+        "artifact": "RANDOMIZED_r05",
+        "n_scenarios": n,
+        "pool": "healthy + 16 singles + 120 doubles",
+        "mass_range_kg": [float(np.min(params.mass)), float(np.max(params.mass))],
+        "inertia_scale_range": [0.8, 1.2],
+        "bank_build_s": round(build_s, 1),
+        "solves_per_s": round(n * 1e3 / p50, 1),
+        "per_step_latency_p50_ms": round(p50, 2),
+        "per_step_latency_p99_ms": round(p99, 2),
+        "max_r_prim": float(rp.max()),
+        "p99_r_prim": float(np.percentile(rp, 99)),
+        "median_r_prim": float(np.median(rp)),
+        "max_term_gap": float(np.nanmax(gaps)),
+        "n_restoration_gap": int((gaps > 1e-3).sum()),
+        "device": str(jax.devices()[0]),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RANDOMIZED_r05.json",
+    )
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -172,6 +172,121 @@ def stack_scenarios(scenarios: Sequence[Scenario]) -> ScenarioBank:
     return ScenarioBank(scenarios=stacked, size=len(scenarios))
 
 
+def build_randomized_bank(
+    params0: BodyParams,
+    n: int,
+    seed: int = 0,
+    fault_pool: Sequence[Sequence[BrokenThruster]] | None = None,
+    mass_range: tuple = (0.85, 1.15),
+    inertia_range: tuple = (0.8, 1.2),
+    tuning: dict | None = None,
+    max_hull_facets: int = MAX_HULL_FACETS,
+):
+    """Randomized (fault pattern x initial state x inertia) scenario bank.
+
+    BASELINE config 5: each of the n rows draws a fault pattern from the
+    pool (healthy + all singles + all doubles by default), a mass/inertia
+    perturbation around the `data/InertialProperties.md` constants (the
+    values the reference hard-codes at `ft_mpc/models/sys_model.py:51-60`),
+    and a random initial robot state.  Per-row spiral parameters,
+    compensation wrench, and quadratic terminal ingredients are computed
+    from THAT row's plant, so the whole bank is physically consistent.
+
+    Returns (bank, params, x0):
+      bank    ScenarioBank of n rows;
+      params  BodyParams whose mass/inertia/inertia_inv leaves carry a
+              leading (n,) axis (see `controllers.spiraling.params_batch_axes`);
+              D/max_thrust/dt stay shared (thruster geometry);
+      x0      (n, 13) random robot states.
+    """
+    from ft_mpc_tpu.runtime import batched_wrench_hulls
+    from ft_mpc_tpu.terminal.quadratic import quadratic_terminal_ingredients
+
+    rng = np.random.default_rng(seed)
+    tuning = dict(tuning or {})
+    Q = np.asarray(tuning.get("Q", [1, 1, 1, 1, 1, 1, 2, 2, 2]), np.float64)
+    R = np.asarray(tuning.get("R", [0.1, 0.1, 0.1, 0.01, 0.01, 0.01]), np.float64)
+    k_omega = tuning.get("k_omega", [1.0, 1.0, 1.0])
+    time_scaling = float(tuning.get("time_scaling", 5))
+
+    if fault_pool is None:
+        fault_pool = [[]]
+        fault_pool += [[BrokenThruster(i, 1.0)] for i in range(N_THRUSTERS)]
+        fault_pool += [
+            [BrokenThruster(i, 1.0), BrokenThruster(j, 1.0)]
+            for i in range(N_THRUSTERS)
+            for j in range(i + 1, N_THRUSTERS)
+        ]
+
+    # Wrench hulls depend only on (D, max_thrust, fault) -- shared across
+    # rows with the same pattern: one threaded native call for the pool.
+    P = len(fault_pool)
+    broken = np.zeros((P, N_THRUSTERS))
+    intensity = np.zeros((P, N_THRUSTERS))
+    for s, faults in enumerate(fault_pool):
+        for f in faults:
+            broken[s, f.index] = 1.0
+            intensity[s, f.index] = f.intensity
+    hA, hb, hm = batched_wrench_hulls(
+        np.asarray(params0.D), float(params0.max_thrust), broken, intensity,
+        max_facets=max_hull_facets,
+    )
+
+    m0 = float(params0.mass)
+    J0 = np.diag(np.asarray(params0.inertia))
+    pattern_idx = rng.integers(0, P, size=n)
+    masses = m0 * rng.uniform(*mass_range, size=n)
+    J_diags = J0[None, :] * rng.uniform(*inertia_range, size=(n, 3))
+
+    from ft_mpc_tpu.controllers.spiral_params import SpiralParameters
+
+    scenarios = []
+    for row in range(n):
+        k = int(pattern_idx[row])
+        inertia = np.diag(J_diags[row])
+        params_i = params0._replace(
+            mass=np.asarray(masses[row], dtype=np.asarray(params0.mass).dtype),
+            inertia=inertia.astype(np.asarray(params0.inertia).dtype),
+            inertia_inv=np.linalg.inv(inertia).astype(
+                np.asarray(params0.inertia).dtype
+            ),
+        )
+        faults = fault_pool[k]
+        ff = broken[k] * intensity[k] * float(params0.max_thrust)
+        sp = SpiralParameters.compute(
+            masses[row], inertia, np.asarray(params0.D) @ ff
+        )
+        P9, p9, c, tset = quadratic_terminal_ingredients(
+            Q, R, sp.M, k_omega, float(params0.dt), time_scaling=time_scaling
+        )
+        scenarios.append(
+            build_scenario(
+                params_i, faults,
+                terminal=quadratic_terminal(P9, p9, c),
+                terminal_set=tset,
+                max_hull_facets=max_hull_facets,
+                precomputed_hull=(hA[k], hb[k], hm[k]),
+            )
+        )
+    bank = stack_scenarios(scenarios)
+
+    f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    inertias = np.stack([np.diag(J_diags[r]) for r in range(n)])
+    params = params0._replace(
+        mass=masses.astype(f_dtype),
+        inertia=inertias.astype(f_dtype),
+        inertia_inv=np.linalg.inv(inertias).astype(f_dtype),
+    )
+
+    x0 = np.zeros((n, 13), dtype=f_dtype)
+    x0[:, 0:3] = rng.uniform(-1, 1, (n, 3))
+    x0[:, 3:6] = rng.uniform(-0.3, 0.3, (n, 3))
+    q = rng.standard_normal((n, 4))
+    x0[:, 6:10] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    x0[:, 10:13] = rng.uniform(-0.3, 0.3, (n, 3))
+    return bank, params, x0
+
+
 def build_scenario_bank(
     params: BodyParams,
     fault_patterns: Sequence[Sequence[BrokenThruster]],
