@@ -73,6 +73,10 @@ def main():
         cleanup_iters=600,
         cleanup_k=max(256, n // 8) if n >= 256 else n,  # bench-parity coverage
         cleanup_phases=3,
+        # Randomized plants + tumbling attitudes have a harder residual
+        # tail than the deterministic bench bank; a second worst-K round
+        # (re-ranked by r_prim + du_norm + defect) covers it.
+        cleanup_rounds=int(os.environ.get("FT_MPC_RAND_ROUNDS", 1)),
     )
 
     traj = generate_trajectory("hover", dt, 5)
