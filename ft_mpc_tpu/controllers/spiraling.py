@@ -113,6 +113,12 @@ class MPCConfig(NamedTuple):
     # (1.3-2.7 N vs the float64 golden).  0 disables.
     refine_iters: int = 0
     refine_tol: float = 1e-3
+    # ADMM budget for refine iterations.  The deployed fast budget (e.g.
+    # 60 iters x 1 phase) cannot drive r_prim to refine_tol during
+    # feasibility restoration, so refine iterations would burn their whole
+    # budget without converging; None reuses cfg.admm (cheap), a stronger
+    # config here makes each refine iteration an exact-class solve.
+    refine_admm: StructuredADMMConfig | None = None
     # Terminal-set feasibility restoration: when the linearization point
     # violates a terminal row (h_term < 0, i.e. outside the certified
     # region of attraction), the QP row is relaxed to require the violation
@@ -645,7 +651,8 @@ def sqp_solve(
     u_unc = scenario.faulty_force_gen
     stage_dyn = partial(_stage_dynamics, params, scenario)
 
-    def sqp_iteration(carry, _):
+    def make_sqp_iteration(admm_cfg):
+      def sqp_iteration(carry, _):
         X, U, yh, yt, rho = carry
 
         if cfg.qp_backend == "condensed":
@@ -653,7 +660,7 @@ def sqp_solve(
                 params, scenario, weights, cfg, X, U, x_ref, u_ref,
                 hull_A, hull_b, term_A, term_b,
             )
-            sol = solve_mpc_qp(qp, cfg.admm, y_hull0=yh, y_term0=yt, rho0=rho)
+            sol = solve_mpc_qp(qp, admm_cfg, y_hull0=yh, y_term0=yt, rho0=rho)
             dU = sol.x.reshape(Nt, N_U)
             dX = jnp.einsum("tin,n->ti", S_all, sol.x) + phi_all  # (Nt, 13)
             rho_new = sol.rho
@@ -697,6 +704,9 @@ def sqp_solve(
         )
         return (X_new, U_new, sol.y_hull, sol.y_term, rho_new), info
 
+      return sqp_iteration
+
+    sqp_iteration = make_sqp_iteration(cfg.admm)
     warm = warm._replace(X=warm.X.at[0].set(c0))
     (X, U, y_hull, y_term, rho), infos = jax.lax.scan(
         sqp_iteration,
@@ -707,13 +717,16 @@ def sqp_solve(
     last_info = tuple(i[-1] for i in infos)
 
     if cfg.refine_iters > 0:
-        # Convergence-gated extra SQP iterations (see MPCConfig.refine_*).
+        # Convergence-gated extra SQP iterations (see MPCConfig.refine_*),
+        # with their own (typically stronger) ADMM budget.
+        refine_iteration = make_sqp_iteration(cfg.refine_admm or cfg.admm)
+
         def refine(full, _):
             carry, info = full
             need = jnp.maximum(info[0], info[3]) > cfg.refine_tol
             carry, info = jax.lax.cond(
                 need,
-                lambda c: sqp_iteration(c, None),
+                lambda c: refine_iteration(c, None),
                 lambda c: (c, info),
                 carry,
             )
