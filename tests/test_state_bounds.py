@@ -186,3 +186,25 @@ def test_batched_assembly_matches_single(problem):
     np.testing.assert_allclose(
         np.asarray(qpb.h_term[0]), np.asarray(qp1.h_term), atol=1e-5
     )
+
+
+def test_refine_converges_transient(problem):
+    """Convergence-gated refinement (MPCConfig.refine_*): with a weak base
+    budget plus refine, the transient solve reaches the SQP tolerance the
+    base budget alone misses, and matches the tight-config solution."""
+    params, sc, c0, x_ref, u_ref, weights0, base = problem
+    from ft_mpc_tpu.solvers.mpc_qp import StructuredADMMConfig
+
+    weak = MPCConfig(
+        horizon=NT, sqp_iters=2,
+        admm=StructuredADMMConfig(iters=60, phases=1, rho=50.0),
+    )
+    refined = weak._replace(
+        refine_iters=10, refine_tol=1e-5,
+        refine_admm=StructuredADMMConfig(iters=150, phases=6, rho=10.0),
+    )
+    warm_r = init_warmstart(params, sc, refined, c0)
+    pt_r, info_r = sqp_solve(params, sc, weights0, refined, c0, x_ref, u_ref, warm_r)
+    assert float(jnp.maximum(info_r.r_prim, info_r.du_norm)) <= 1e-5
+    du = float(jnp.max(jnp.abs(pt_r.U - base.U)))
+    assert du < 5e-4, du  # same solution as the tight config
