@@ -289,7 +289,11 @@ def test_cleanup_pass_tightens_tail():
         sqp_iters=2,
         admm=cfg0.admm._replace(iters=8, phases=1, rho=50.0, adapt_clip=1.5),
     )
-    clean = base._replace(cleanup_iters=120, cleanup_k=2, cleanup_phases=1)
+    # cleanup_k covers the whole starved bank: the worst-K ranking is the
+    # transient-aware r_prim + du_norm + defect score, so with K < B the
+    # top-r_prim row is not guaranteed to be among the cleaned rows of
+    # this deliberately under-converged setup.
+    clean = base._replace(cleanup_iters=120, cleanup_k=4, cleanup_phases=2)
     c0 = jax.vmap(robot_to_center)(bank.r, x0)
 
     def solve(cfg):
